@@ -1,0 +1,116 @@
+"""Shared NN building blocks (flax.linen), NHWC layout, TPU-first.
+
+Conventions:
+  - All image tensors are NHWC (TPU-native conv layout).
+  - Params live in float32; `dtype` controls compute/activation precision
+    (bfloat16 by default on TPU). GroupNorm always reduces in float32
+    (parity with the reference's GroupNorm32, dm/util.py:203-215 semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["GroupNorm32", "CrossAttention", "FeedForwardGEGLU", "zeros_init"]
+
+zeros_init = nn.initializers.zeros
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in float32 regardless of input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        return out.astype(orig_dtype)
+
+
+def _attention(q, k, v, num_heads: int):
+    """Multi-head attention over (B, N, H*D) tensors; softmax in float32.
+
+    XLA fuses this into an MXU-friendly schedule; a Pallas flash variant in
+    reface_tpu/ops/attention.py can be swapped in for long sequences.
+    """
+    b, n, _ = q.shape
+    m = k.shape[1]
+    d = q.shape[-1] // num_heads
+    q = q.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
+    k = k.reshape(b, m, num_heads, d).transpose(0, 2, 1, 3)
+    v = v.reshape(b, m, num_heads, d).transpose(0, 2, 1, 3)
+    scale = d**-0.5
+    logits = jnp.einsum(
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", w, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, num_heads * d)
+
+
+class CrossAttention(nn.Module):
+    """Q from x, K/V from context (self-attention when context is None).
+
+    Parity: ldm/modules/attention.py:152-222 including the 1536-d split-context
+    path that routes CLIP/ID features to heads [:6] and landmark features to
+    heads [6:] (head_splits=[6,2]).
+    """
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    head_splits: tuple = (6, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        ctx_dim = self.context_dim or self.query_dim
+        dense = lambda feat, name: nn.Dense(
+            feat, use_bias=False, dtype=self.dtype, name=name
+        )
+        q = dense(inner, "to_q")(x)
+        ctx = x if context is None else context
+        to_k = dense(inner, "to_k")
+        to_v = dense(inner, "to_v")
+        if context is not None and ctx.shape[-1] == 2 * ctx_dim:
+            # Split context: first half -> heads[:s0], second half -> heads[s0:].
+            c1, c2 = jnp.split(ctx, 2, axis=-1)
+            s0 = self.head_splits[0] * self.dim_head
+            s1 = self.head_splits[1] * self.dim_head
+            k = jnp.concatenate([to_k(c1)[..., :s0], to_k(c2)[..., inner - s1:]], -1)
+            v = jnp.concatenate([to_v(c1)[..., :s0], to_v(c2)[..., inner - s1:]], -1)
+        else:
+            k = to_k(ctx)
+            v = to_v(ctx)
+        out = _attention(q, k, v, self.heads)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    """GEGLU feed-forward: proj to 2*4d, gate with gelu, project back."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
