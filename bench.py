@@ -1,0 +1,94 @@
+"""North-star benchmark: swaps/sec/chip at 512px DDIM-50 (BASELINE.json).
+
+Protocol parity: scripts/inference_test_bench.py semantics — per swap:
+conditioning (CLIP x2 + ArcFace + landmark proj), VAE encode of the masked
+target, 50-step DDIM with CFG scale 3 (2 UNet fwds/step), VAE decode.
+Here the whole swap is ONE jitted XLA program; throughput is measured over
+batched swaps with device sync, reported per chip.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 10.0 (the >=10 swaps/sec/chip target).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _cast_params(params, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
+    ap.add_argument("--batch", type=int, default=0, help="0 = auto")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--weights-dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
+
+    if args.tiny:
+        cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+        batch = args.batch or 2
+    else:
+        cfg = SwapConfig(ddim_steps=args.steps)
+        batch = args.batch or 4
+
+    key = jax.random.key(0)
+    params = FaceSwapper.init_params(cfg, key)
+    wd = jnp.dtype(args.weights_dtype)
+    if wd != jnp.float32:
+        params = _cast_params(params, wd)
+    swapper = FaceSwapper(cfg, params)
+
+    s = cfg.image_size
+    ks = jax.random.split(jax.random.key(1), 5)
+    batch_data = dict(
+        target_image=jax.random.uniform(ks[0], (batch, s, s, 3), minval=-1, maxval=1),
+        inpaint_image=jax.random.uniform(ks[1], (batch, s, s, 3), minval=-1, maxval=1),
+        inpaint_mask=(jax.random.uniform(ks[2], (batch, s, s, 1)) > 0.5).astype(
+            jnp.float32
+        ),
+        ref_clip224=jax.random.normal(ks[3], (batch, 224, 224, 3)),
+        landmarks=jax.random.uniform(ks[4], (batch, 136)) * s,
+    )
+
+    # warmup/compile
+    out = swapper.swap(**batch_data, key=jax.random.key(2))
+    out.block_until_ready()
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = swapper.swap(**batch_data, key=jax.random.key(3 + i))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    swaps_per_sec = batch / best
+    result = {
+        "metric": f"swaps_per_sec_per_chip_{s}px_ddim{cfg.ddim_steps}",
+        "value": round(swaps_per_sec, 4),
+        "unit": "swaps/s",
+        "vs_baseline": round(swaps_per_sec / 10.0, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={batch} best={best:.3f}s times={[round(t,3) for t in times]} "
+        f"backend={jax.default_backend()} devices={len(jax.devices())}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,487 @@
+"""PyTorch state_dict -> reface_tpu flax param-tree converters.
+
+Covers the reference's five heterogeneous checkpoints
+(SURVEY.md "hard parts" #2):
+  - REFace/SD `last.ckpt` layout:  model.diffusion_model.* (UNet),
+    first_stage_model.* (VAE), cond_stage_model.* (CLIP+mapper),
+    proj_out_source/target, ID_proj_out, landmark_proj_out, learnable_vector
+    (ldm/models/diffusion/ddpm.py:698-733)
+  - HF CLIPModel (openai/clip-vit-large-patch14) vision tower
+  - ArcFace model_ir_se50.pth (src/Face_models/encoders/model_irse.py)
+
+Strategy: walk OUR param tree (authoritative, from module init/eval_shape),
+derive each leaf's torch key + layout transform from its flax path, and fail
+loudly on anything missing/mismatched — conversion completeness is checked
+structurally, activation parity per-layer in tests/test_convert.py.
+
+Layout rules (torch -> flax):
+  Linear  weight (O,I)        -> kernel (I,O)          [transpose]
+  Conv2d  weight (O,I,kh,kw)  -> kernel (kh,kw,I,O)    [transpose 2,3,1,0]
+  Norms   weight/bias         -> scale/bias
+  BatchNorm running stats     -> BatchNormInference mean/var params
+  NCHW-flatten Linear         -> kernel rows permuted to NHWC-flatten order
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Mapping
+
+import numpy as np
+
+__all__ = [
+    "convert_unet",
+    "convert_vae",
+    "convert_clip_conditioner",
+    "convert_arcface",
+    "convert_reface_checkpoint",
+    "load_torch_state_dict",
+]
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_torch_state_dict(path: str) -> dict[str, Array]:
+    """Load a torch checkpoint on CPU into plain numpy arrays."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------- helpers
+
+def _linear_kernel(w: Array) -> Array:
+    return np.ascontiguousarray(w.T)
+
+
+def _conv_kernel(w: Array) -> Array:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _nchw_flat_linear_kernel(w: Array, c: int, h: int, ww: int) -> Array:
+    """Linear over a flattened (C,H,W) torch tensor -> NHWC-flatten order."""
+    o = w.shape[0]
+    w = w.reshape(o, c, h, ww).transpose(0, 2, 3, 1).reshape(o, h * ww * c)
+    return np.ascontiguousarray(w.T)
+
+
+def _flatten_tree(tree: Any, prefix: tuple = ()) -> dict[tuple, Any]:
+    out = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _unflatten(flat: dict[tuple, Array]) -> dict:
+    root: dict = {}
+    for path, v in flat.items():
+        node = root
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return root
+
+
+class ConversionError(KeyError):
+    pass
+
+
+def _convert_by_rules(
+    flax_shapes: Any,
+    torch_sd: StateDict,
+    rule: Callable[[tuple], tuple[str, Callable[..., Array]]],
+    strict_shapes: bool = True,
+) -> dict:
+    """For each leaf in flax_shapes, fetch + transform the torch tensor."""
+    flat = _flatten_tree(flax_shapes)
+    out: dict[tuple, Array] = {}
+    missing = []
+    for path, ref in flat.items():
+        try:
+            tkey, xform = rule(path)
+        except Exception as e:  # rule itself failed to map
+            missing.append(("<rule>", "/".join(path), str(e)))
+            continue
+        if tkey not in torch_sd:
+            missing.append((tkey, "/".join(path), "absent"))
+            continue
+        arr = np.asarray(torch_sd[tkey])
+        arr = xform(arr)
+        want = tuple(ref.shape)
+        if strict_shapes and tuple(arr.shape) != want:
+            raise ConversionError(
+                f"shape mismatch {tkey} -> {'/'.join(path)}: "
+                f"{arr.shape} vs {want}"
+            )
+        out[path] = arr.astype(np.dtype(ref.dtype)) if hasattr(ref, "dtype") else arr
+    if missing:
+        lines = "\n".join(f"  {t} -> {f}: {why}" for t, f, why in missing[:20])
+        raise ConversionError(
+            f"{len(missing)} unmapped params (first 20):\n{lines}"
+        )
+    return _unflatten(out)
+
+
+_ID = lambda a: a
+
+
+def _leaf_xform(flax_leaf: str, kind: str) -> Callable[[Array], Array]:
+    """kind: 'linear' | 'conv' | passthrough for norms/vectors."""
+    if flax_leaf == "kernel":
+        return _linear_kernel if kind == "linear" else _conv_kernel
+    return _ID
+
+
+# ---------------------------------------------------------------- UNet
+
+def _unet_rule(path: tuple) -> tuple[str, Callable]:
+    """flax path under {'params': ...} -> (torch key, transform)."""
+    p = list(path)
+    assert p[0] == "params"
+    p = p[1:]
+    leaf = p[-1]
+
+    def norm_key(torch_prefix):
+        # GroupNorm32 wraps nn.GroupNorm as child 'GroupNorm_0'
+        tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+        return f"{torch_prefix}.{tleaf}", _ID
+
+    top = p[0]
+    if top == "time_embed_0":
+        return f"time_embed.0.{'weight' if leaf=='kernel' else 'bias'}", _leaf_xform(leaf, "linear")
+    if top == "time_embed_2":
+        return f"time_embed.2.{'weight' if leaf=='kernel' else 'bias'}", _leaf_xform(leaf, "linear")
+    if top == "out_norm":
+        return norm_key("out.0")
+    if top == "out_conv":
+        return f"out.2.{'weight' if leaf=='kernel' else 'bias'}", _leaf_xform(leaf, "conv")
+
+    if top == "input_blocks_0_0" and len(p) == 2:
+        # stem conv (a bare nn.Conv, no children)
+        return (
+            f"input_blocks.0.0.{'weight' if leaf == 'kernel' else 'bias'}",
+            _leaf_xform(leaf, "conv"),
+        )
+
+    m = re.match(r"middle_block_(\d+)$", top)
+    if m:
+        group = "middle_block"
+        tprefix = f"middle_block.{m.group(1)}"
+    else:
+        m = re.match(r"(input_blocks|output_blocks)_(\d+)_(\d+)$", top)
+        if not m:
+            raise ValueError(f"unrecognized unet module {top}")
+        group = m.group(1)
+        tprefix = f"{group}.{m.group(2)}.{m.group(3)}"
+
+    child = p[1]
+    tw = "weight" if leaf in ("kernel", "scale") else "bias"
+
+    # ResBlock children
+    res_map = {
+        "in_norm": ("in_layers.0", "norm"),
+        "in_conv": ("in_layers.2", "conv"),
+        "emb_proj": ("emb_layers.1", "linear"),
+        "out_norm": ("out_layers.0", "norm"),
+        "out_conv": ("out_layers.3", "conv"),
+        "skip": ("skip_connection", "conv"),
+    }
+    if child in res_map:
+        tsub, kind = res_map[child]
+        if kind == "norm":
+            return norm_key(f"{tprefix}.{tsub}")
+        return f"{tprefix}.{tsub}.{tw}", _leaf_xform(leaf, kind)
+
+    # Down/Upsample child
+    if child == "conv":
+        # Downsample in torch is `.op`, Upsample is `.conv`
+        tsub = "op" if group == "input_blocks" else "conv"
+        return f"{tprefix}.{tsub}.{tw}", _leaf_xform(leaf, "conv")
+
+    # SpatialTransformer children
+    if child == "norm":
+        return norm_key(f"{tprefix}.norm")
+    if child in ("proj_in", "proj_out"):
+        return f"{tprefix}.{child}.{tw}", _leaf_xform(leaf, "conv")
+    m2 = re.match(r"block_(\d+)$", child)
+    if m2:
+        bt = f"{tprefix}.transformer_blocks.{m2.group(1)}"
+        gchild = p[2]
+        if gchild in ("norm1", "norm2", "norm3"):
+            tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+            return f"{bt}.{gchild}.{tleaf}", _ID
+        if gchild in ("attn1", "attn2"):
+            ggchild = p[3]
+            tname = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v",
+                     "to_out": "to_out.0"}[ggchild]
+            return f"{bt}.{gchild}.{tname}.{tw}", _leaf_xform(leaf, "linear")
+        if gchild == "ff":
+            tname = {"proj_in": "ff.net.0.proj", "proj_out": "ff.net.2"}[p[3]]
+            return f"{bt}.{tname}.{tw}", _leaf_xform(leaf, "linear")
+    raise ValueError(f"unmapped unet path {'/'.join(path)}")
+
+
+def convert_unet(flax_shapes: Any, torch_sd: StateDict, prefix: str = "") -> dict:
+    if prefix:
+        torch_sd = {k[len(prefix):]: v for k, v in torch_sd.items()
+                    if k.startswith(prefix)}
+    return _convert_by_rules(flax_shapes, torch_sd, _unet_rule)
+
+
+# ---------------------------------------------------------------- VAE
+
+def _vae_rule(path: tuple) -> tuple[str, Callable]:
+    p = list(path)
+    assert p[0] == "params"
+    p = p[1:]
+    leaf = p[-1]
+    tw = "weight" if leaf in ("kernel", "scale") else "bias"
+
+    top = p[0]
+    if top in ("quant_conv", "post_quant_conv"):
+        return f"{top}.{tw}", _leaf_xform(leaf, "conv")
+
+    tower = top  # 'encoder' | 'decoder'
+    child = p[1]
+
+    def resnet(tprefix, sub):
+        kind = "norm" if sub.startswith("norm") else "conv"
+        if kind == "norm":
+            tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+            return f"{tprefix}.{sub}.{tleaf}", _ID
+        return f"{tprefix}.{sub}.{tw}", _leaf_xform(leaf, "conv")
+
+    m = re.match(r"(down|up)_(\d+)_block_(\d+)$", child)
+    if m:
+        return resnet(f"{tower}.{m.group(1)}.{m.group(2)}.block.{m.group(3)}", p[2])
+    m = re.match(r"(down|up)_(\d+)_(downsample|upsample)$", child)
+    if m:
+        return (
+            f"{tower}.{m.group(1)}.{m.group(2)}.{m.group(3)}.conv.{tw}",
+            _leaf_xform(leaf, "conv"),
+        )
+    m = re.match(r"mid_(block_\d|attn_1)$", child)
+    if m:
+        if "attn" in child:
+            sub = p[2]
+            if sub == "norm":
+                tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+                return f"{tower}.mid.attn_1.norm.{tleaf}", _ID
+            return f"{tower}.mid.attn_1.{sub}.{tw}", _leaf_xform(leaf, "conv")
+        return resnet(f"{tower}.mid.{child[4:]}", p[2])
+    if child == "norm_out":
+        tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+        return f"{tower}.norm_out.{tleaf}", _ID
+    if child in ("conv_in", "conv_out"):
+        return f"{tower}.{child}.{tw}", _leaf_xform(leaf, "conv")
+    raise ValueError(f"unmapped vae path {'/'.join(path)}")
+
+
+def convert_vae(flax_shapes: Any, torch_sd: StateDict, prefix: str = "") -> dict:
+    if prefix:
+        torch_sd = {k[len(prefix):]: v for k, v in torch_sd.items()
+                    if k.startswith(prefix)}
+    return _convert_by_rules(flax_shapes, torch_sd, _vae_rule)
+
+
+# ---------------------------------------------------------------- CLIP
+
+def _clip_rule(path: tuple) -> tuple[str, Callable]:
+    """CLIPConditioner tree: tower/* from HF CLIPModel, mapper2/final_ln2
+    from the REFace checkpoint's cond_stage_model."""
+    p = list(path)
+    assert p[0] == "params"
+    p = p[1:]
+    leaf = p[-1]
+    tw = "weight" if leaf in ("kernel", "scale") else "bias"
+    top = p[0]
+    V = "model.vision_model"
+    if top == "tower":
+        child = p[1]
+        if child == "class_embedding":
+            return f"{V}.embeddings.class_embedding", _ID
+        if child == "position_embedding":
+            return f"{V}.embeddings.position_embedding.weight", _ID
+        if child == "patch_embed":
+            return f"{V}.embeddings.patch_embedding.weight", _conv_kernel
+        if child == "pre_layernorm":
+            tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+            return f"{V}.pre_layrnorm.{tleaf}", _ID  # HF's typo'd key
+        if child == "post_layernorm":
+            tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+            return f"{V}.post_layernorm.{tleaf}", _ID
+        if child == "visual_projection":
+            return "model.visual_projection.weight", _linear_kernel
+        m = re.match(r"layer_(\d+)$", child)
+        if m:
+            L = f"{V}.encoder.layers.{m.group(1)}"
+            sub = p[2]
+            if sub in ("ln1", "ln2"):
+                tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+                tn = {"ln1": "layer_norm1", "ln2": "layer_norm2"}[sub]
+                return f"{L}.{tn}.{tleaf}", _ID
+            if sub == "attn":
+                tn = p[3]  # q_proj/k_proj/v_proj/out_proj
+                return f"{L}.self_attn.{tn}.{tw}", _leaf_xform(leaf, "linear")
+            if sub in ("fc1", "fc2"):
+                return f"{L}.mlp.{sub}.{tw}", _leaf_xform(leaf, "linear")
+    if top == "mapper2":
+        m = re.match(r"block_(\d+)$", p[1])
+        B = f"mapper2.resblocks.{m.group(1)}"
+        sub = p[2]
+        name_map = {
+            "ln1": ("ln_1", "norm"),
+            "ln2": ("ln_2", "norm"),
+            "c_qkv": ("attn.c_qkv", "linear"),
+            "c_proj": ("attn.c_proj", "linear"),
+            "mlp_fc": ("mlp.c_fc", "linear"),
+            "mlp_proj": ("mlp.c_proj", "linear"),
+        }
+        tn, kind = name_map[sub]
+        if kind == "norm":
+            tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+            return f"{B}.{tn}.{tleaf}", _ID
+        return f"{B}.{tn}.{tw}", _leaf_xform(leaf, "linear")
+    if top == "final_ln2":
+        tleaf = {"scale": "weight", "bias": "bias"}[leaf]
+        return f"final_ln2.{tleaf}", _ID
+    raise ValueError(f"unmapped clip path {'/'.join(path)}")
+
+
+def convert_clip_conditioner(flax_shapes: Any, torch_sd: StateDict,
+                             prefix: str = "") -> dict:
+    if prefix:
+        torch_sd = {k[len(prefix):]: v for k, v in torch_sd.items()
+                    if k.startswith(prefix)}
+    return _convert_by_rules(flax_shapes, torch_sd, _clip_rule)
+
+
+# ---------------------------------------------------------------- ArcFace
+
+_BN_LEAF = {"scale": "weight", "bias": "bias", "mean": "running_mean",
+            "var": "running_var"}
+
+
+def _arcface_rule(path: tuple) -> tuple[str, Callable]:
+    p = list(path)
+    assert p[0] == "params"
+    p = p[1:]
+    leaf = p[-1]
+    top = p[0]
+    if top == "input_conv":
+        return "input_layer.0.weight", _conv_kernel
+    if top == "input_bn":
+        return f"input_layer.1.{_BN_LEAF[leaf]}", _ID
+    if top == "input_prelu":
+        return "input_layer.2.weight", _ID
+    if top == "output_bn":
+        return f"output_layer.0.{_BN_LEAF[leaf]}", _ID
+    if top == "output_fc":
+        if leaf == "kernel":
+            # torch flattens NCHW (512,7,7); our reshape flattens NHWC
+            return "output_layer.3.weight", lambda w: _nchw_flat_linear_kernel(
+                w, 512, 7, 7
+            )
+        return "output_layer.3.bias", _ID
+    if top == "output_bn1d":
+        return f"output_layer.4.{_BN_LEAF[leaf]}", _ID
+    m = re.match(r"body_(\d+)$", top)
+    if m:
+        B = f"body.{m.group(1)}"
+        sub = p[1]
+        tw = "weight" if leaf in ("kernel", "scale") else "bias"
+        sub_map = {
+            "shortcut_conv": (f"{B}.shortcut_layer.0.weight", _conv_kernel),
+            "conv1": (f"{B}.res_layer.1.weight", _conv_kernel),
+            "conv2": (f"{B}.res_layer.3.weight", _conv_kernel),
+            "prelu": (f"{B}.res_layer.2.weight", _ID),
+        }
+        if sub in sub_map and leaf in ("kernel", "alpha"):
+            return sub_map[sub]
+        if sub == "shortcut_bn":
+            return f"{B}.shortcut_layer.1.{_BN_LEAF[leaf]}", _ID
+        if sub == "bn0":
+            return f"{B}.res_layer.0.{_BN_LEAF[leaf]}", _ID
+        if sub == "bn2":
+            return f"{B}.res_layer.4.{_BN_LEAF[leaf]}", _ID
+        if sub == "se":
+            fc = p[2]  # fc1 / fc2
+            idx = {"fc1": "fc1", "fc2": "fc2"}[fc]
+            return f"{B}.res_layer.5.{idx}.weight", _conv_kernel
+    raise ValueError(f"unmapped arcface path {'/'.join(path)}")
+
+
+def convert_arcface(flax_shapes: Any, torch_sd: StateDict, prefix: str = "") -> dict:
+    if prefix:
+        torch_sd = {k[len(prefix):]: v for k, v in torch_sd.items()
+                    if k.startswith(prefix)}
+    return _convert_by_rules(flax_shapes, torch_sd, _arcface_rule)
+
+
+# ------------------------------------------------------- full checkpoint
+
+def convert_reface_checkpoint(
+    swap_cfg, torch_sd: StateDict, clip_sd: StateDict | None = None,
+    arcface_sd: StateDict | None = None,
+):
+    """Assemble the full {'unet','vae','conditioner'} params from the REFace
+    last.ckpt (+ standalone CLIP / ArcFace state dicts when the combined
+    checkpoint doesn't embed them under its own prefixes)."""
+    import jax
+    import jax.numpy as jnp
+    from reface_tpu.pipelines.swap import FaceSwapper
+
+    shapes = jax.eval_shape(
+        lambda k: FaceSwapper.init_params(swap_cfg, k), jax.random.key(0)
+    )
+
+    unet = convert_unet(shapes["unet"], torch_sd, prefix="model.diffusion_model.")
+    vae = convert_vae(shapes["vae"], torch_sd, prefix="first_stage_model.")
+
+    # conditioner: clip tower+mapper live under cond_stage_model.*,
+    # projections at the top level of the REFace checkpoint.
+    cond_shapes = shapes["conditioner"]
+    clip_src = {
+        k[len("cond_stage_model."):]: v
+        for k, v in torch_sd.items()
+        if k.startswith("cond_stage_model.")
+    }
+    if clip_sd:
+        clip_src.update({f"model.{k}" if not k.startswith("model.") else k: v
+                         for k, v in clip_sd.items()})
+    clip_tree = convert_clip_conditioner(
+        {"params": cond_shapes["params"]["clip_embed"]}, clip_src
+    )["params"]
+
+    af_src = arcface_sd or {
+        k[len("face_ID_model.facenet."):]: v
+        for k, v in torch_sd.items()
+        if k.startswith("face_ID_model.facenet.")
+    }
+    af_tree = convert_arcface(
+        {"params": cond_shapes["params"]["face_id"]}, af_src
+    )["params"]
+
+    def lin(prefix):
+        return {
+            "kernel": _linear_kernel(np.asarray(torch_sd[f"{prefix}.weight"])),
+            "bias": np.asarray(torch_sd[f"{prefix}.bias"]),
+        }
+
+    cond_params = {
+        "clip_embed": clip_tree,
+        "face_id": af_tree,
+        "proj_out_source": lin("proj_out_source"),
+        "proj_out_target": lin("proj_out_target"),
+        "id_proj_out": lin("ID_proj_out"),
+        "landmark_proj_out": lin("landmark_proj_out"),
+        "learnable_vector": np.asarray(torch_sd["learnable_vector"]),
+    }
+    return {"unet": unet, "vae": vae, "conditioner": {"params": cond_params}}

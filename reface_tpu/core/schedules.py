@@ -77,8 +77,9 @@ def make_ddim_timesteps(
         ts = (np.linspace(0, math.sqrt(num_ddpm_steps * 0.8), num_ddim_steps) ** 2).astype(int)
     else:
         raise ValueError(f"unknown ddim discretization {method!r}")
-    # +1 so the final step's alpha is the one that scales to data.
-    return ts + 1
+    # +1 so the final step's alpha is the one that scales to data. Clipped so
+    # non-divisor step counts stay in range (reference only uses divisors).
+    return np.minimum(ts + 1, num_ddpm_steps - 1)
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,133 @@
+"""DDIM sampler as a single fused lax.scan — the inference hot loop.
+
+Behavioral parity target (semantics, not code):
+  /root/reference/ldm/models/diffusion/ddim.py:200-375 —
+  per step: concat [x_t, z_inpaint, mask] -> 9ch (ddim.py:328-334), CFG by
+  batch-doubling with the *unconditional half first* (ddim.py:338-346),
+  eps-param update  pred_x0 = (x_t - sqrt(1-a_t) e) / sqrt(a_t),
+  dir_xt = sqrt(1 - a_prev - sigma^2) e,  x_prev = sqrt(a_prev) pred_x0 +
+  dir_xt + sigma * noise * temperature  (ddim.py:352-374), iterating the
+  +1-offset uniform timestep subset in reverse.
+
+TPU-first design: the whole 50-step loop is ONE lax.scan inside ONE jit.
+The CFG pair rides as a single 2B batch through the UNet (one big MXU
+program, no per-step dispatch); all per-step scalars come from precomputed
+(S,)-tables consumed as scan xs; the conditioning/doubling is hoisted out of
+the loop. eta=0 (the shipped config) compiles the noise term away entirely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from reface_tpu.core.schedules import DDIMTables
+
+__all__ = ["ddim_sample", "ddim_step", "cfg_eps"]
+
+# model_fn(x9: (B,H,W,9), t: (B,) int32, context: (B,T,768)) -> eps (B,H,W,4)
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def cfg_eps(
+    model_fn: ModelFn,
+    x9: jnp.ndarray,
+    t: jnp.ndarray,
+    context_cat: jnp.ndarray,
+    scale: float,
+) -> jnp.ndarray:
+    """Classifier-free-guided eps via batch-doubling (uncond first)."""
+    b = x9.shape[0]
+    x_in = jnp.concatenate([x9, x9], axis=0)
+    t_in = jnp.concatenate([t, t], axis=0)
+    eps = model_fn(x_in, t_in, context_cat)
+    e_uncond, e_cond = eps[:b], eps[b:]
+    return e_uncond + scale * (e_cond - e_uncond)
+
+
+def ddim_step(
+    x: jnp.ndarray,
+    eps: jnp.ndarray,
+    a_t: jnp.ndarray,
+    a_prev: jnp.ndarray,
+    sqrt_one_minus_at: jnp.ndarray,
+    sigma_t: jnp.ndarray,
+    noise: Optional[jnp.ndarray] = None,
+):
+    """One DDIM update on the 4-ch latent. Returns (x_prev, pred_x0)."""
+    pred_x0 = (x - sqrt_one_minus_at * eps) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * eps
+    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+    if noise is not None:
+        x_prev = x_prev + sigma_t * noise
+    return x_prev, pred_x0
+
+
+def ddim_sample(
+    model_fn: ModelFn,
+    x_T: jnp.ndarray,
+    context: jnp.ndarray,
+    uncond_context: jnp.ndarray,
+    inpaint_latent: jnp.ndarray,
+    mask_latent: jnp.ndarray,
+    tables: DDIMTables,
+    cfg_scale: float = 3.0,
+    eta: float = 0.0,
+    temperature: float = 1.0,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Run the full reverse DDIM chain; returns the final 4-ch latent.
+
+    Args:
+      x_T: (B, h, w, 4) initial noise latent.
+      context / uncond_context: (B, T, 768) cross-attention contexts.
+      inpaint_latent: (B, h, w, 4) VAE latent of the masked target.
+      mask_latent: (B, h, w, 1) latent-resolution inpaint mask.
+      tables: DDIMTables (ascending t); scanned in reverse here.
+    """
+    use_cfg = uncond_context is not None and cfg_scale != 1.0
+    b = x_T.shape[0]
+    if use_cfg:
+        ctx = jnp.concatenate([uncond_context, context], axis=0)
+    else:
+        ctx = context
+    rest = jnp.concatenate([inpaint_latent, mask_latent], axis=-1)
+
+    # reverse the tables so the scan runs t: 981 -> 1
+    rev = lambda a: a[::-1]
+    xs = (
+        rev(tables.timesteps),
+        rev(tables.alphas),
+        rev(tables.alphas_prev),
+        rev(tables.sqrt_one_minus_alphas),
+        rev(tables.sigmas),
+    )
+    stochastic = eta != 0.0
+    if stochastic and key is None:
+        raise ValueError("eta != 0 requires a PRNG key")
+    n_steps = tables.num_steps
+    step_keys = (
+        jax.random.split(key, n_steps) if stochastic else jnp.zeros((n_steps, 1))
+    )
+
+    def body(x, scan_in):
+        (t, a_t, a_prev, s1m, sig), k = scan_in
+        x9 = jnp.concatenate([x, rest], axis=-1)
+        tb = jnp.full((b,), t, jnp.int32)
+        if use_cfg:
+            eps = cfg_eps(model_fn, x9, tb, ctx, cfg_scale)
+        else:
+            eps = model_fn(x9, tb, ctx)
+        noise = (
+            jax.random.normal(k, x.shape, x.dtype) * temperature
+            if stochastic
+            else None
+        )
+        x_prev, _ = ddim_step(x, eps, a_t, a_prev, s1m, sig, noise)
+        return x_prev, None
+
+    x_final, _ = jax.lax.scan(body, x_T, (tuple(map(jnp.asarray, xs)), step_keys))
+    return x_final

@@ -1,0 +1,161 @@
+"""Data-parallel training step (pjit over a `data` mesh axis).
+
+Behavioral parity targets (semantics, not code):
+  - loss core:    ldm/models/diffusion/ddpm.py:1679-1837 (p_losses_face):
+                  eps-MSE on q_sampled 4-ch latent re-concatenated to 9ch
+                  (+ DDIM-reconstruction ID/LPIPS losses, staged separately in
+                  reface_tpu/diffusion/losses.py as they land).
+  - CFG dropout:  ddpm.py:1489-1502 — u_cond_percent=0.2 of samples get the
+                  learnable null token instead of the fused conditioning.
+  - trainables:   ddpm.py:2175-2219 + modules.py:248-251 — UNet, mapper2,
+                  final_ln2, proj_out_source/target, ID_proj_out,
+                  landmark_proj_out, learnable_vector. VAE / CLIP tower /
+                  ArcFace are frozen.
+  - optimizer:    AdamW, base lr 1e-5, LambdaLinear 10k-step warmup
+                  (configs/train.yaml:22-29, main.py:719-727).
+
+TPU-native: one jitted step; batch sharded over `data`, params replicated;
+XLA inserts the gradient psum over ICI (the DDP equivalent). bf16 compute,
+fp32 params/optimizer state; UNet blocks rematerialized via UNetConfig.remat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from reface_tpu.core.schedules import DiffusionSchedule
+from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, clip_normalize, un_norm
+from reface_tpu.nn.conditioner import REFaceConditioner
+
+__all__ = ["TrainConfig", "TrainState", "make_optimizer", "trainable_labels",
+           "make_train_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    warmup_steps: int = 10_000
+    weight_decay: float = 1e-2
+    u_cond_percent: float = 0.2
+    num_timesteps: int = 1000
+    grad_clip: Optional[float] = None
+
+
+def trainable_labels(params: dict[str, Any]):
+    """'train' / 'freeze' label tree matching the reference's grad partition."""
+    frozen_conditioner_prefixes = ("face_id",)
+    frozen_clip_prefixes = ("tower",)
+
+    def label_path(path) -> str:
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if keys[0] == "unet":
+            return "train"
+        if keys[0] == "vae":
+            return "freeze"
+        # conditioner subtree
+        if "face_id" in keys or "tower" in keys:
+            return "freeze"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: label_path(p), params)
+
+
+def make_optimizer(cfg: TrainConfig, params):
+    sched = optax.linear_schedule(
+        init_value=cfg.learning_rate * 1e-6,
+        end_value=cfg.learning_rate,
+        transition_steps=cfg.warmup_steps,
+    )
+    tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, trainable_labels(params)
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @staticmethod
+    def create(params, tx):
+        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig):
+    """Returns (train_step, loss_fn_parts). Batch keys:
+    target_image, inpaint_image, inpaint_mask, ref_clip224, landmarks.
+    """
+    swapper_model = FaceSwapper.__new__(FaceSwapper)  # module container only
+    swapper_model.config = swap_cfg
+    from reface_tpu.nn.unet import UNetModel
+    from reface_tpu.nn.vae import AutoencoderKL
+
+    swapper_model.unet = UNetModel(swap_cfg.unet)
+    swapper_model.vae = AutoencoderKL(swap_cfg.vae)
+    swapper_model.conditioner = REFaceConditioner(swap_cfg.conditioner)
+    schedule = DiffusionSchedule.create(timesteps=train_cfg.num_timesteps)
+    tx_holder = {}
+
+    def loss_fn(params, batch, key):
+        kt, kn, ke1, ke2, kd = jax.random.split(key, 5)
+        b = batch["target_image"].shape[0]
+
+        # --- conditioning (towers frozen; stop_gradient enforced by optimizer mask)
+        c, uc = FaceSwapper.build_context(
+            swapper_model, params, batch["ref_clip224"], batch["target_image"],
+            batch.get("landmarks"),
+        )
+        # CFG dropout: per-sample swap to the null token
+        drop = jax.random.uniform(kd, (b, 1, 1)) < train_cfg.u_cond_percent
+        c = jnp.where(drop, uc, c)
+
+        # --- latent assembly (z, z_inpaint, mask) : get_input parity
+        z = FaceSwapper.encode_latent(swapper_model, params, batch["target_image"], ke1)
+        z = jax.lax.stop_gradient(z)
+        z_inpaint = FaceSwapper.encode_latent(
+            swapper_model, params, batch["inpaint_image"], ke2
+        )
+        z_inpaint = jax.lax.stop_gradient(z_inpaint)
+        hw = z.shape[1]
+        mask_l = jax.image.resize(batch["inpaint_mask"], (b, hw, hw, 1), "bilinear")
+
+        # --- q_sample on the 4 "live" channels only (ddpm.py:1682-1684)
+        t = jax.random.randint(kt, (b,), 0, train_cfg.num_timesteps)
+        noise = jax.random.normal(kn, z.shape, z.dtype)
+        z_t = schedule.q_sample(z, t, noise)
+        x9 = jnp.concatenate([z_t, z_inpaint, mask_l], axis=-1)
+
+        eps_pred = swapper_model.unet.apply(params["unet"], x9, t, c)
+        loss_simple = jnp.mean((noise - eps_pred) ** 2)
+        return loss_simple, {"loss_simple": loss_simple, "t_mean": t.mean()}
+
+    def train_step(state: TrainState, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key
+        )
+        updates, new_opt = tx_holder["tx"].update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1),
+            {**metrics, "loss": loss},
+        )
+
+    def init_state(params):
+        tx = make_optimizer(train_cfg, params)
+        tx_holder["tx"] = tx
+        return TrainState.create(params, tx)
+
+    return train_step, loss_fn, init_state
