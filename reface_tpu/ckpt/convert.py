@@ -425,6 +425,73 @@ def convert_arcface(flax_shapes: Any, torch_sd: StateDict, prefix: str = "") -> 
     return _convert_by_rules(flax_shapes, torch_sd, _arcface_rule)
 
 
+# ---------------------------------------------------------------- BiSeNet
+
+def _bisenet_rule(path: tuple) -> tuple[str, Callable]:
+    """Flax BiSeNet path -> face-parsing checkpoint key (cp.* prefixes)."""
+    p = list(path)
+    assert p[0] == "params"
+    p = p[1:]
+    leaf = p[-1]
+
+    def bn(tprefix):
+        return f"{tprefix}.{_BN_LEAF[leaf]}", _ID
+
+    def conv(tprefix):
+        return f"{tprefix}.weight", _conv_kernel
+
+    def convbn(tprefix, sub):
+        # ConvBN module children: conv / bn
+        return conv(f"{tprefix}.conv") if sub == "conv" else bn(f"{tprefix}.bn")
+
+    top = p[0]
+    if top == "resnet":
+        child = p[1]
+        R = "cp.resnet"
+        if child == "conv1":
+            return conv(f"{R}.conv1")
+        if child == "bn1":
+            return bn(f"{R}.bn1")
+        m = re.match(r"layer(\d)_(\d)$", child)
+        if m:
+            B = f"{R}.layer{m.group(1)}.{m.group(2)}"
+            sub = p[2]
+            if sub in ("conv1", "conv2"):
+                return conv(f"{B}.{sub}")
+            if sub in ("bn1", "bn2"):
+                return bn(f"{B}.{sub}")
+            if sub == "down_conv":
+                return conv(f"{B}.downsample.0")
+            if sub == "down_bn":
+                return bn(f"{B}.downsample.1")
+    if top in ("arm16", "arm32"):
+        A = f"cp.{top}"
+        sub = p[1]
+        if sub == "conv":
+            return convbn(f"{A}.conv", p[2])
+        if sub == "conv_atten":
+            return conv(f"{A}.conv_atten")
+        if sub == "bn_atten":
+            return bn(f"{A}.bn_atten")
+    if top in ("conv_avg", "conv_head16", "conv_head32"):
+        return convbn(f"cp.{top}", p[1])
+    if top == "ffm":
+        sub = p[1]
+        if sub == "convblk":
+            return convbn("ffm.convblk", p[2])
+        return conv(f"ffm.{sub}")
+    if top in ("conv_out", "conv_out16", "conv_out32"):
+        sub = p[1]
+        if sub == "conv":
+            return convbn(f"{top}.conv", p[2])
+        return conv(f"{top}.conv_out")
+    raise ValueError(f"unmapped bisenet path {'/'.join(path)}")
+
+
+def convert_bisenet(flax_shapes: Any, torch_sd: StateDict) -> dict:
+    return _convert_by_rules(flax_shapes, torch_sd, _bisenet_rule)
+
+
 # ------------------------------------------------------- full checkpoint
 
 def convert_reface_checkpoint(

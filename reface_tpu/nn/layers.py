@@ -41,24 +41,11 @@ class GroupNorm32(nn.Module):
 
 
 def _attention(q, k, v, num_heads: int):
-    """Multi-head attention over (B, N, H*D) tensors; softmax in float32.
+    """Multi-head attention over (B, N, H*D); Pallas flash kernel on TPU for
+    long self-attention sequences, fused fp32-softmax einsum otherwise."""
+    from reface_tpu.ops.attention import multi_head_attention
 
-    XLA fuses this into an MXU-friendly schedule; a Pallas flash variant in
-    reface_tpu/ops/attention.py can be swapped in for long sequences.
-    """
-    b, n, _ = q.shape
-    m = k.shape[1]
-    d = q.shape[-1] // num_heads
-    q = q.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
-    k = k.reshape(b, m, num_heads, d).transpose(0, 2, 1, 3)
-    v = v.reshape(b, m, num_heads, d).transpose(0, 2, 1, 3)
-    scale = d**-0.5
-    logits = jnp.einsum(
-        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhnm,bhmd->bhnd", w, v)
-    return out.transpose(0, 2, 1, 3).reshape(b, n, num_heads * d)
+    return multi_head_attention(q, k, v, num_heads)
 
 
 class CrossAttention(nn.Module):

@@ -70,12 +70,12 @@ class AttnBlock(nn.Module):
     def __call__(self, x):
         b, hh, ww, c = x.shape
         h = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        from reface_tpu.ops.attention import multi_head_attention
+
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h).reshape(b, hh * ww, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h).reshape(b, hh * ww, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h).reshape(b, hh * ww, c)
-        logits = jnp.einsum("bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(logits * (c**-0.5), axis=-1).astype(v.dtype)
-        h = jnp.einsum("bnm,bmc->bnc", w, v).reshape(b, hh, ww, c)
+        h = multi_head_attention(q, k, v, num_heads=1).reshape(b, hh, ww, c)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return x + h
 
