@@ -56,7 +56,7 @@ def trainable_labels(params: dict[str, Any]):
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
         if keys[0] == "unet":
             return "train"
-        if keys[0] == "vae":
+        if keys[0] in ("vae", "lpips"):
             return "freeze"
         # conditioner subtree
         if "face_id" in keys or "tower" in keys:
@@ -92,18 +92,27 @@ class TrainState:
         return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig):
-    """Returns (train_step, loss_fn_parts). Batch keys:
+def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
+                    recon: "ReconLossConfig | None" = None):
+    """Returns (train_step, loss_fn, init_state). Batch keys:
     target_image, inpaint_image, inpaint_mask, ref_clip224, landmarks.
+
+    recon: optional ReconLossConfig enabling the full p_losses_face parity
+    (k-step DDIM reconstruction + ID/LPIPS). When set, params must also
+    contain a "lpips" tree if recon.lpips_weight > 0.
     """
-    swapper_model = FaceSwapper.__new__(FaceSwapper)  # module container only
-    swapper_model.config = swap_cfg
+    from reface_tpu.diffusion.losses import ReconLossConfig, reface_losses
+    from reface_tpu.nn.arcface import ARC_FACE_CROP
+    from reface_tpu.nn.lpips import LPIPS
     from reface_tpu.nn.unet import UNetModel
     from reface_tpu.nn.vae import AutoencoderKL
 
+    swapper_model = FaceSwapper.__new__(FaceSwapper)  # module container only
+    swapper_model.config = swap_cfg
     swapper_model.unet = UNetModel(swap_cfg.unet)
     swapper_model.vae = AutoencoderKL(swap_cfg.vae)
     swapper_model.conditioner = REFaceConditioner(swap_cfg.conditioner)
+    lpips_model = LPIPS()
     schedule = DiffusionSchedule.create(timesteps=train_cfg.num_timesteps)
     tx_holder = {}
 
@@ -129,16 +138,67 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig):
         z_inpaint = jax.lax.stop_gradient(z_inpaint)
         hw = z.shape[1]
         mask_l = jax.image.resize(batch["inpaint_mask"], (b, hw, hw, 1), "bilinear")
+        z9 = jnp.concatenate([z, z_inpaint, mask_l], axis=-1)
 
-        # --- q_sample on the 4 "live" channels only (ddpm.py:1682-1684)
         t = jax.random.randint(kt, (b,), 0, train_cfg.num_timesteps)
-        noise = jax.random.normal(kn, z.shape, z.dtype)
-        z_t = schedule.q_sample(z, t, noise)
-        x9 = jnp.concatenate([z_t, z_inpaint, mask_l], axis=-1)
 
-        eps_pred = swapper_model.unet.apply(params["unet"], x9, t, c)
-        loss_simple = jnp.mean((noise - eps_pred) ** 2)
-        return loss_simple, {"loss_simple": loss_simple, "t_mean": t.mean()}
+        unet_fn = lambda x9, tt, cc: swapper_model.unet.apply(
+            params["unet"], x9, tt, cc
+        )
+
+        if recon is None:
+            # eps-MSE only (fast path / dryrun)
+            noise = jax.random.normal(kn, z.shape, z.dtype)
+            z_t = schedule.q_sample(z, t, noise)
+            eps_pred = unet_fn(
+                jnp.concatenate([z_t, z_inpaint, mask_l], axis=-1), t, c
+            )
+            loss_simple = jnp.mean((noise - eps_pred) ** 2)
+            return loss_simple, {"loss_simple": loss_simple}
+
+        def decode_fn(latent):
+            return FaceSwapper.decode_latent(swapper_model, params, latent)
+
+        def embed_id_fn(img_pm1):
+            # IDLoss.extract_feats with clip_img=False (ddpm.py:112-124)
+            x = jax.image.resize(
+                img_pm1, (img_pm1.shape[0], 256, 256, 3), "bilinear"
+            )
+            tcrop, bcrop, lcrop, rcrop = ARC_FACE_CROP
+            x = x[:, tcrop:bcrop, lcrop:rcrop, :]
+            x = jax.image.resize(x, (x.shape[0], 112, 112, 3), "bilinear")
+            return swapper_model.conditioner.apply(
+                params["conditioner"],
+                method=lambda m, xx: m.face_id(xx),
+                xx=x,
+            )
+
+        lpips_fn = None
+        if recon.lpips_weight > 0:
+            lpips_fn = lambda a, bb: lpips_model.apply(params["lpips"], a, bb)
+
+        def conditioning_fn(ref, lm):
+            tar224 = clip_normalize(un_norm(batch["target_image"]))
+            return swapper_model.conditioner.apply(
+                params["conditioner"], ref, tar224, lm
+            )
+
+        return reface_losses(
+            unet_fn=unet_fn,
+            decode_fn=decode_fn,
+            embed_id_fn=embed_id_fn,
+            lpips_fn=lpips_fn,
+            conditioning_fn=conditioning_fn,
+            schedule=schedule,
+            cfg=recon,
+            z_start9=z9,
+            cond=c,
+            ref_clip224=batch["ref_clip224"],
+            gt_image=batch["target_image"],
+            landmarks=batch.get("landmarks"),
+            t=t,
+            key=kn,
+        )
 
     def train_step(state: TrainState, batch, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

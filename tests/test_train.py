@@ -1,0 +1,143 @@
+"""Training-step tests: optimizer partition, eps-MSE step, full recon losses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reface_tpu.diffusion.losses import (
+    ReconLossConfig,
+    avg_pool_to,
+    ddim_reconstruct,
+    recon_timestep_seq,
+)
+from reface_tpu.core import DiffusionSchedule
+from reface_tpu.pipelines.swap import FaceSwapper, tiny_swap_config
+from reface_tpu.pipelines.train import (
+    TrainConfig,
+    make_train_step,
+    trainable_labels,
+)
+
+
+def _batch(b, size, key=0):
+    ks = jax.random.split(jax.random.key(key), 5)
+    return dict(
+        target_image=jax.random.uniform(ks[0], (b, size, size, 3), minval=-1, maxval=1),
+        inpaint_image=jax.random.uniform(ks[1], (b, size, size, 3), minval=-1, maxval=1),
+        inpaint_mask=(jax.random.uniform(ks[2], (b, size, size, 1)) > 0.5).astype(
+            jnp.float32
+        ),
+        ref_clip224=jax.random.normal(ks[3], (b, 224, 224, 3)),
+        landmarks=jax.random.uniform(ks[4], (b, 136)) * size,
+    )
+
+
+def test_recon_timestep_seq_matches_reference_semantics():
+    # t_new=999, k=4: skip=(998)//4=249 -> [1,250,499,748] -> flipped
+    assert recon_timestep_seq(999, 4) == [748, 499, 250, 1]
+    # small t_new: skip clamps to 1, range(1, t_new-1) truncated to k
+    assert recon_timestep_seq(5, 4) == [3, 2, 1]
+
+
+def test_avg_pool_to():
+    x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    out = avg_pool_to(x, 2)
+    np.testing.assert_allclose(
+        np.asarray(out[0, :, :, 0]), [[2.5, 4.5], [10.5, 12.5]]
+    )
+
+
+def test_trainable_labels_partition():
+    cfg = tiny_swap_config(image_size=64)
+    params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    params["lpips"] = {"params": {"lin0": {"kernel": jnp.zeros((1, 1, 4, 1))}}}
+    labels = trainable_labels(params)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+
+    def label_for(substr):
+        return {
+            "/".join(str(k) for k in path): v
+            for path, v in flat
+            if substr in "/".join(str(getattr(k, "key", k)) for k in path)
+        }
+
+    joined = {
+        "/".join(str(getattr(k, "key", k)) for k in path): v for path, v in flat
+    }
+    assert all(v == "train" for k, v in joined.items() if k.startswith("unet"))
+    assert all(v == "freeze" for k, v in joined.items() if k.startswith("vae"))
+    assert all(v == "freeze" for k, v in joined.items() if k.startswith("lpips"))
+    assert all(v == "freeze" for k, v in joined.items() if "face_id" in k)
+    assert all(v == "freeze" for k, v in joined.items() if "tower" in k)
+    assert all(v == "train" for k, v in joined.items() if "mapper2" in k)
+    assert all(
+        v == "train" for k, v in joined.items() if "proj_out_source" in k
+    )
+    assert any(v == "train" for k, v in joined.items() if "learnable_vector" in k)
+
+
+def test_ddim_reconstruct_oracle():
+    """With the true-eps oracle, the recon recovers x0 from t=999."""
+    sched = DiffusionSchedule.create()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+    x_noisy = sched.q_sample(x0, jnp.array([999, 999]), e)
+    rest = jnp.zeros((2, 8, 8, 5))
+    unet_fn = lambda x9, t, c: e
+    preds, x_final = ddim_reconstruct(
+        unet_fn, x_noisy, rest, jnp.zeros((2, 1, 8)), sched, k=4
+    )
+    assert len(preds) == 3  # [initial latent, first pred, last pred]
+    np.testing.assert_array_equal(np.asarray(preds[0]), np.asarray(x_noisy))
+    # sample_train semantics: x is noised at t=999 but the first step uses the
+    # k-step table alpha (t=751), so pred_x0 = s*x0 + c*e with
+    # s = sqrt(acp999/acp751), c = (sqrt(1-acp999)-sqrt(1-acp751))/sqrt(acp751)
+    # — and with a constant-eps oracle every later pred equals the first.
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    a999, a751 = acp[999], acp[751]
+    s = np.sqrt(a999 / a751)
+    cshift = (np.sqrt(1 - a999) - np.sqrt(1 - a751)) / np.sqrt(a751)
+    expect = s * np.asarray(x0) + cshift * np.asarray(e)
+    np.testing.assert_allclose(np.asarray(preds[1]), expect, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(preds[2]), expect, atol=2e-4)
+
+
+def test_train_step_eps_only_updates_trainables():
+    cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    tcfg = TrainConfig(warmup_steps=5)
+    params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    step, loss_fn, init_state = make_train_step(cfg, tcfg)
+    state = init_state(params)
+    batch = _batch(2, 64)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen VAE unchanged; trainable unet conv changed
+    old_vae = jax.tree.leaves(state.params["vae"])[0]
+    new_vae = jax.tree.leaves(new_state.params["vae"])[0]
+    np.testing.assert_array_equal(np.asarray(old_vae), np.asarray(new_vae))
+    old_unet = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(state.params["unet"])]
+    )
+    new_unet = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(new_state.params["unet"])]
+    )
+    assert np.abs(old_unet - new_unet).max() > 0
+
+
+def test_train_step_full_losses():
+    from reface_tpu.nn.lpips import LPIPS
+
+    cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    tcfg = TrainConfig(warmup_steps=5)
+    recon = ReconLossConfig(ddim_steps=2, lpips_scales=(1, 2))
+    params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    lpips = LPIPS()
+    x = jnp.zeros((1, 64, 64, 3))
+    params["lpips"] = lpips.init(jax.random.key(1), x, x)
+    step, loss_fn, init_state = make_train_step(cfg, tcfg, recon=recon)
+    state = init_state(params)
+    batch = _batch(2, 64)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.key(2))
+    for k in ("loss_simple", "id_loss", "lpips_loss", "loss"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
