@@ -1,0 +1,135 @@
+"""Web demo: upload source+target, get the swap back.
+
+Functional parity target: /root/reference/scripts/one_inference.py:443-518 +
+templates/index.html (Flask GUI). Flask is not in this image, so this is a
+stdlib http.server implementation with the same POST /process_images flow.
+
+Usage:
+  python -m reface_tpu.cli.demo_server --port 7860 [--tiny --precropped]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+
+from reface_tpu.cli.common import add_model_args, apply_backend, build_swapper
+
+_PAGE = """<!doctype html>
+<html><head><title>reface-tpu demo</title></head>
+<body style="font-family:sans-serif;max-width:640px;margin:2em auto">
+<h2>reface-tpu face swap</h2>
+<form method="post" action="/process_images" enctype="multipart/form-data">
+  <p>Source face: <input type="file" name="source"></p>
+  <p>Target image: <input type="file" name="target"></p>
+  <p><button type="submit">Swap</button></p>
+</form>
+</body></html>"""
+
+
+def _decode_multipart(body: bytes, boundary: bytes) -> dict[str, bytes]:
+    parts = body.split(b"--" + boundary)
+    out = {}
+    for part in parts:
+        if b"Content-Disposition" not in part:
+            continue
+        head, _, data = part.partition(b"\r\n\r\n")
+        data = data.rsplit(b"\r\n", 1)[0]
+        for token in head.split(b";"):
+            token = token.strip()
+            if token.startswith(b'name="'):
+                out[token[6:-1].decode()] = data
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_model_args(ap)
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--precropped", action="store_true")
+    args = ap.parse_args(argv)
+    apply_backend(args)
+
+    import cv2
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from reface_tpu.pipelines.raw import RawSwapPipeline
+    from reface_tpu.pipelines.swap import clip_normalize
+
+    swapper = build_swapper(args)
+    pipe = None if args.precropped else RawSwapPipeline(swapper)
+    lock = threading.Lock()
+    state = {"key": jax.random.key(args.seed)}
+
+    def run_swap(source_png: bytes, target_png: bytes) -> bytes:
+        def dec(b):
+            arr = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
+            return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+        src, tgt = dec(source_png), dec(target_png)
+        with lock:
+            state["key"], sub = jax.random.split(state["key"])
+            if pipe is not None:
+                out01 = np.asarray(
+                    pipe.swap_images(jnp.asarray(tgt)[None],
+                                     jnp.asarray(src)[None], key=sub)[0]
+                )
+            else:
+                size = swapper.config.image_size
+                tgt_r = cv2.resize(tgt, (size, size))
+                src_r = cv2.resize(src, (size, size))
+                t = jnp.asarray(tgt_r)[None] * 2 - 1
+                mask = jnp.ones((1, size, size, 1))
+                ref = clip_normalize(jnp.asarray(src_r)[None])
+                out = swapper.swap(target_image=t, inpaint_image=t,
+                                   inpaint_mask=mask, ref_clip224=ref, key=sub)
+                out01 = (np.asarray(out[0]) + 1) / 2
+        u8 = np.clip(out01 * 255, 0, 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".png", cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
+        return buf.tobytes()
+
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(_PAGE.encode())
+
+        def do_POST(self):
+            if self.path != "/process_images":
+                self.send_error(404)
+                return
+            ctype = self.headers.get("Content-Type", "")
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                boundary = ctype.split("boundary=")[1].encode()
+                fields = _decode_multipart(body, boundary)
+                png = run_swap(fields["source"], fields["target"])
+            except Exception as e:  # surface errors to the client
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"error": str(e)}).encode())
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.end_headers()
+            self.wfile.write(png)
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"[demo] listening on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

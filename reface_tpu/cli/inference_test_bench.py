@@ -1,0 +1,105 @@
+"""Batched test-bench swap driver.
+
+Functional parity target: /root/reference/scripts/inference_test_bench.py +
+inference_test_bench.sh — deterministic pair lists (seed 42), DDIM-50 CFG 3.0,
+n_samples per device batch, per-pair result PNGs named
+results/{source}_{target}.png plus grid/mask/GT/inpaint/ref dumps.
+
+TPU-native: the whole per-batch swap is one jitted program; the host loader
+prefetches/decodes while the device runs the previous batch.
+
+Usage:
+  python -m reface_tpu.cli.inference_test_bench --dataset-dir ... \
+      --dataset celeba --outdir results/celeba --n-samples 10 [--ckpt ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from reface_tpu.cli.common import add_model_args, apply_backend, build_swapper, save_grid_pm1, save_image_pm1
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_model_args(ap)
+    ap.add_argument("--dataset-dir", required=True)
+    ap.add_argument("--dataset", default="celeba", choices=["celeba", "ffhq"])
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--n-samples", type=int, default=10, help="device batch")
+    ap.add_argument("--num-pairs", type=int, default=1000)
+    ap.add_argument("--save-aux", action="store_true",
+                    help="also dump grid/mask/GT/inpaint/ref")
+    args = ap.parse_args(argv)
+    apply_backend(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from reface_tpu.data import PrefetchLoader, TestBenchConfig, TestBenchDataset
+
+    swapper = build_swapper(args)
+    size = swapper.config.image_size
+    ds = TestBenchDataset(TestBenchConfig(
+        dataset_dir=args.dataset_dir, dataset=args.dataset,
+        image_size=size, num_pairs=args.num_pairs,
+    ))
+    loader = PrefetchLoader(ds, batch_size=args.n_samples, shuffle=False,
+                            drop_last=False)
+
+    os.makedirs(os.path.join(args.outdir, "results"), exist_ok=True)
+    key = jax.random.key(args.seed)
+    done = 0
+    t0 = time.perf_counter()
+    for batch in loader:
+        b = batch["target_image"].shape[0]
+        if b < args.n_samples:  # pad the ragged tail to the compiled shape
+            pad = args.n_samples - b
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in batch.items()
+            }
+        key, sub = jax.random.split(key)
+        out = swapper.swap(
+            target_image=jnp.asarray(batch["target_image"]),
+            inpaint_image=jnp.asarray(batch["inpaint_image"]),
+            inpaint_mask=jnp.asarray(batch["inpaint_mask"]),
+            ref_clip224=jnp.asarray(batch["ref_clip224"]),
+            key=sub,
+        )
+        out = np.asarray(out)[:b]
+        for i in range(b):
+            tid = int(batch["target_id"][i])
+            sid = int(batch["source_id"][i])
+            save_image_pm1(
+                os.path.join(args.outdir, "results", f"{sid}_{tid}.png"), out[i]
+            )
+            if args.save_aux:
+                save_image_pm1(
+                    os.path.join(args.outdir, "GT", f"{tid}.png"),
+                    batch["target_image"][i],
+                )
+                save_image_pm1(
+                    os.path.join(args.outdir, "inpaint", f"{tid}.png"),
+                    batch["inpaint_image"][i],
+                )
+                save_image_pm1(
+                    os.path.join(args.outdir, "mask", f"{tid}.png"),
+                    np.repeat(batch["inpaint_mask"][i] * 2 - 1, 3, axis=-1),
+                )
+                save_grid_pm1(
+                    os.path.join(args.outdir, "grid", f"{sid}_{tid}.png"),
+                    [batch["target_image"][i], batch["inpaint_image"][i], out[i]],
+                )
+        done += b
+        rate = done / (time.perf_counter() - t0)
+        print(f"[test_bench] {done}/{len(ds)} swaps ({rate:.2f} swaps/s)")
+    print(f"[test_bench] wrote {done} swaps to {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()

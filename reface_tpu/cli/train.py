@@ -1,0 +1,183 @@
+"""Training driver: data-parallel pjit train loop with checkpointing/logging.
+
+Functional parity target: /root/reference/main.py + train.sh —
+OmegaConf-style layered YAML + dotlist overrides, LR scaling by world size,
+periodic image logging, top-k + last checkpointing, crash checkpoint,
+SIGUSR1 on-demand checkpoint, resume. Implemented TPU-native: one jitted DP
+train step over a jax.sharding Mesh (XLA inserts the gradient all-reduce),
+orbax sharded checkpoints, host prefetch loader.
+
+Usage:
+  python -m reface_tpu.cli.train --dataset-dir ... --logdir logs/run1 \
+      [--tiny --image-size 64 --steps 10]   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset-dir", required=True)
+    ap.add_argument("--dataset", default="celeba", choices=["celeba", "ffhq"])
+    ap.add_argument("--logdir", required=True)
+    ap.add_argument("--batch-size", type=int, default=1, help="per device")
+    ap.add_argument("--base-lr", type=float, default=1e-5)
+    ap.add_argument("--warmup-steps", type=int, default=10000)
+    ap.add_argument("--steps", type=int, default=0, help="0 = epochs mode")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--train-count", type=int, default=28000)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--full-losses", action="store_true",
+                    help="enable DDIM-recon ID/LPIPS losses")
+    ap.add_argument("--ckpt-every", type=int, default=10000)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--image-log-every", type=int, default=500)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
+    args = ap.parse_args(argv)
+    from reface_tpu.cli.common import apply_backend
+
+    apply_backend(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from reface_tpu.ckpt.io import save_params
+    from reface_tpu.cli.common import save_grid_pm1
+    from reface_tpu.data import (
+        CelebAHQConfig,
+        CelebAHQDataset,
+        FFHQConfig,
+        FFHQDataset,
+        PrefetchLoader,
+    )
+    from reface_tpu.diffusion.losses import ReconLossConfig
+    from reface_tpu.parallel import create_mesh, shard_batch, shard_params
+    from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
+    from reface_tpu.pipelines.train import TrainConfig, make_train_step
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    world_batch = args.batch_size * n_dev
+    # reference LR scaling rule: lr = accum x nodes x ngpu x bs x base_lr
+    lr = args.base_lr * world_batch
+
+    swap_cfg = (
+        tiny_swap_config(image_size=args.image_size)
+        if args.tiny
+        else SwapConfig(image_size=args.image_size)
+    )
+    train_cfg = TrainConfig(learning_rate=lr, warmup_steps=args.warmup_steps)
+    recon = ReconLossConfig() if args.full_losses else None
+
+    params = FaceSwapper.init_params(swap_cfg, jax.random.key(args.seed))
+    if args.full_losses:
+        from reface_tpu.nn.lpips import LPIPS
+
+        x0 = jnp.zeros((1, args.image_size, args.image_size, 3))
+        params["lpips"] = LPIPS().init(jax.random.key(1), x0, x0)
+    if args.resume:
+        from reface_tpu.ckpt.io import load_params
+
+        params = load_params(args.resume, params)
+        print(f"[train] resumed params from {args.resume}")
+
+    step_fn, _, init_state = make_train_step(swap_cfg, train_cfg, recon=recon)
+    state = init_state(shard_params(params, mesh))
+    jit_step = jax.jit(step_fn)
+
+    if args.dataset == "celeba":
+        ds = CelebAHQDataset(CelebAHQConfig(
+            dataset_dir=args.dataset_dir, state="train",
+            image_size=args.image_size, train_count=args.train_count,
+            data_seed=args.seed,
+        ))
+    else:
+        ds = FFHQDataset(FFHQConfig(
+            dataset_dir=args.dataset_dir, state="train",
+            image_size=args.image_size, train_count=args.train_count,
+            data_seed=args.seed,
+        ))
+
+    def to_batch(raw):
+        return shard_batch(
+            dict(
+                target_image=raw["GT"],
+                inpaint_image=raw["inpaint_image"],
+                inpaint_mask=raw["inpaint_mask"],
+                ref_clip224=raw["ref_imgs"],
+            ),
+            mesh,
+        )
+
+    loader = PrefetchLoader(ds, batch_size=world_batch, shuffle=True,
+                            seed=args.seed, device_put=to_batch)
+
+    os.makedirs(os.path.join(args.logdir, "checkpoints"), exist_ok=True)
+    os.makedirs(os.path.join(args.logdir, "images"), exist_ok=True)
+    metrics_path = os.path.join(args.logdir, "metrics.jsonl")
+
+    want_ckpt = {"now": False}
+    try:
+        signal.signal(signal.SIGUSR1, lambda *_: want_ckpt.update(now=True))
+    except (ValueError, OSError):
+        pass
+
+    def checkpoint(tag):
+        path = os.path.join(args.logdir, "checkpoints", tag)
+        save_params(path, jax.device_get(state.params),
+                    metadata={"step": int(state.step)})
+        print(f"[train] checkpoint -> {path}")
+
+    key = jax.random.key(args.seed + 1)
+    step = 0
+    t0 = time.perf_counter()
+    try:
+        with mesh:
+            for epoch in range(args.epochs):
+                for raw_batch in loader:
+                    key, sub = jax.random.split(key)
+                    state, metrics = jit_step(state, raw_batch, sub)
+                    step += 1
+                    if step % args.log_every == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        m.update(step=step, epoch=epoch,
+                                 sps=step / (time.perf_counter() - t0))
+                        with open(metrics_path, "a") as f:
+                            f.write(json.dumps(m) + "\n")
+                        print(f"[train] {m}")
+                    if step % args.image_log_every == 0:
+                        raw = jax.device_get(raw_batch)
+                        save_grid_pm1(
+                            os.path.join(args.logdir, "images",
+                                         f"inputs_{step:08d}.png"),
+                            [raw["target_image"][0], raw["inpaint_image"][0]],
+                        )
+                    if want_ckpt["now"]:
+                        want_ckpt["now"] = False
+                        checkpoint(f"sig_{step:08d}")
+                    if step % args.ckpt_every == 0:
+                        checkpoint(f"step_{step:08d}")
+                    if args.steps and step >= args.steps:
+                        raise StopIteration
+    except StopIteration:
+        pass
+    except Exception:
+        checkpoint("crash_last")  # melk() parity: save before re-raising
+        raise
+    checkpoint("last")
+    print(f"[train] done at step {step}")
+
+
+if __name__ == "__main__":
+    main()
