@@ -235,6 +235,23 @@ def convert_unet(flax_shapes: Any, torch_sd: StateDict, prefix: str = "") -> dic
     return _convert_by_rules(flax_shapes, torch_sd, _unet_rule)
 
 
+def expand_conv_in(torch_sd: dict, in_channels: int = 9,
+                   key: str = "model.diffusion_model.input_blocks.0.0.weight") -> dict:
+    """Zero-pad a vanilla SD conv_in from 4 to `in_channels` input channels.
+
+    Parity: scripts/modify_checkpoints.py:1-7 — bootstrap a 9-ch REFace UNet
+    from the stock sd-v1-4 checkpoint by concatenating zeros(320, 5, 3, 3).
+    """
+    out = dict(torch_sd)
+    w = np.asarray(out[key])
+    o, i, kh, kw = w.shape
+    if i >= in_channels:
+        return out
+    pad = np.zeros((o, in_channels - i, kh, kw), w.dtype)
+    out[key] = np.concatenate([w, pad], axis=1)
+    return out
+
+
 # ---------------------------------------------------------------- VAE
 
 def _vae_rule(path: tuple) -> tuple[str, Callable]:

@@ -1,0 +1,154 @@
+"""Dataset preparation tools.
+
+Functional parity targets:
+  - merge-celeba-masks: /root/reference/process_CelebA_mask.py — merge
+    CelebAMask-HQ per-class PNGs ({id//2000}/{id:05d}_{class}.png) into a
+    single 19-class Overall_mask/{id}.png.
+  - estimate-ffhq-masks: /root/reference/esitmate_FFHQ_mask.py — run the
+    BiSeNet parser over FFHQ images512 and save 19-class masks.
+  - crop-and-mask: /root/reference/Crop_and_mask.py — align the eval source
+    range to 1024^2 crops and produce masks (needs landmark + parser ckpts).
+
+Usage:
+  python -m reface_tpu.cli.prepare_data merge-celeba-masks --dataset-dir D
+  python -m reface_tpu.cli.prepare_data estimate-ffhq-masks --dataset-dir D \
+      --bisenet-ckpt 79999_iter.pth [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+# CelebAMask-HQ per-class file suffixes, index = class id (1-based)
+CELEBA_CLASS_SUFFIXES = [
+    "skin", "nose", "eye_g", "l_eye", "r_eye", "l_brow", "r_brow", "l_ear",
+    "r_ear", "mouth", "u_lip", "l_lip", "hair", "hat", "ear_r", "neck_l",
+    "neck", "cloth",
+]
+
+
+def merge_celeba_masks(dataset_dir: str, count: int = 30000) -> None:
+    import cv2
+
+    mask_root = os.path.join(dataset_dir, "CelebA-HQ-mask")
+    out_dir = os.path.join(mask_root, "Overall_mask")
+    os.makedirs(out_dir, exist_ok=True)
+    for idx in range(count):
+        folder = os.path.join(mask_root, str(idx // 2000))
+        overall = None
+        for cls_id, suffix in enumerate(CELEBA_CLASS_SUFFIXES, start=1):
+            p = os.path.join(folder, f"{idx:05d}_{suffix}.png")
+            if not os.path.exists(p):
+                continue
+            m = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+            if overall is None:
+                overall = np.zeros_like(m, np.uint8)
+            overall[m > 127] = cls_id
+        if overall is not None:
+            cv2.imwrite(os.path.join(out_dir, f"{idx}.png"), overall)
+        if idx % 1000 == 0:
+            print(f"[merge] {idx}/{count}")
+
+
+def estimate_ffhq_masks(dataset_dir: str, bisenet_ckpt: str | None,
+                        batch: int = 8, allow_random: bool = False) -> None:
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from reface_tpu.nn.bisenet import BiSeNet, BiSeNetConfig, SEG_MEAN, SEG_STD
+
+    model = BiSeNet(BiSeNetConfig())
+    if bisenet_ckpt:
+        import functools
+
+        from reface_tpu.ckpt.convert import convert_bisenet, load_torch_state_dict
+
+        shapes = jax.eval_shape(
+            functools.partial(model.init, aux_heads=True), jax.random.key(0),
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        params = convert_bisenet(
+            jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
+            load_torch_state_dict(bisenet_ckpt),
+        )
+    elif allow_random:
+        params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                            aux_heads=True)
+    else:
+        raise SystemExit("--bisenet-ckpt required (or --allow-random)")
+
+    fwd = jax.jit(
+        lambda p, x: jnp.argmax(model.apply(p, (x - SEG_MEAN) / SEG_STD),
+                                axis=-1).astype(jnp.int32)
+    )
+    img_dir = os.path.join(dataset_dir, "images512")
+    out_dir = os.path.join(dataset_dir, "BiSeNet_mask")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = sorted(glob.glob(os.path.join(img_dir, "*.png")))
+    for i in range(0, len(paths), batch):
+        chunk = paths[i : i + batch]
+        imgs = np.stack([
+            cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in chunk
+        ]).astype(np.float32) / 255.0
+        if imgs.shape[0] < batch:  # pad tail to compiled shape
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], batch - imgs.shape[0], 0)]
+            )
+        masks = np.asarray(fwd(params, jnp.asarray(imgs)))[: len(chunk)]
+        for p, m in zip(chunk, masks):
+            cv2.imwrite(os.path.join(out_dir, os.path.basename(p)),
+                        m.astype(np.uint8))
+        print(f"[ffhq-masks] {min(i + batch, len(paths))}/{len(paths)}")
+
+
+def expand_sd_checkpoint(src: str, dst: str) -> None:
+    """modify_checkpoints.py parity: 4->9 channel conv_in zero-pad."""
+    import torch
+
+    from reface_tpu.ckpt.convert import expand_conv_in
+
+    obj = torch.load(src, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    sd = expand_conv_in(sd)
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v))
+                               for k, v in sd.items()}}, dst)
+    print(f"[expand] wrote {dst}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    m = sub.add_parser("merge-celeba-masks")
+    m.add_argument("--dataset-dir", required=True)
+    m.add_argument("--count", type=int, default=30000)
+    e = sub.add_parser("estimate-ffhq-masks")
+    e.add_argument("--dataset-dir", required=True)
+    e.add_argument("--bisenet-ckpt", default=None)
+    e.add_argument("--batch", type=int, default=8)
+    e.add_argument("--allow-random", action="store_true")
+    e.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
+    x = sub.add_parser("expand-sd-checkpoint")
+    x.add_argument("--src", required=True)
+    x.add_argument("--dst", required=True)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "merge-celeba-masks":
+        merge_celeba_masks(args.dataset_dir, args.count)
+    elif args.cmd == "estimate-ffhq-masks":
+        from reface_tpu.cli.common import apply_backend
+
+        apply_backend(args)
+        estimate_ffhq_masks(args.dataset_dir, args.bisenet_ckpt, args.batch,
+                            args.allow_random)
+    elif args.cmd == "expand-sd-checkpoint":
+        expand_sd_checkpoint(args.src, args.dst)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,7 @@ class TrainConfig:
     u_cond_percent: float = 0.2
     num_timesteps: int = 1000
     grad_clip: Optional[float] = None
+    ema_decay: Optional[float] = None  # shipped config: use_ema False
 
 
 def trainable_labels(params: dict[str, Any]):
@@ -86,10 +87,17 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    ema: Any = None  # EmaState of the trainable subtree, or None
 
     @staticmethod
-    def create(params, tx):
-        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    def create(params, tx, ema_decay=None):
+        ema = None
+        if ema_decay is not None:
+            from reface_tpu.core.ema import EmaState
+
+            ema = EmaState.create(params["unet"], decay=ema_decay)
+        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
+                          ema)
 
 
 def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
@@ -208,14 +216,27 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             grads, state.opt_state, state.params
         )
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema
+        if state.ema is not None:
+            from reface_tpu.core.ema import ema_update
+
+            new_ema = ema_update(state.ema, new_params["unet"])
         return (
-            TrainState(new_params, new_opt, state.step + 1),
+            TrainState(new_params, new_opt, state.step + 1, new_ema),
             {**metrics, "loss": loss},
         )
 
     def init_state(params):
         tx = make_optimizer(train_cfg, params)
         tx_holder["tx"] = tx
-        return TrainState.create(params, tx)
+        return TrainState.create(params, tx, ema_decay=train_cfg.ema_decay)
 
     return train_step, loss_fn, init_state
+
+
+def params_with_ema(params, state: TrainState):
+    """ema_scope parity (ddpm.py:309-320): swap the UNet weights for their
+    EMA shadow at inference time; no-op when EMA is disabled."""
+    if state.ema is None:
+        return params
+    return {**params, "unet": state.ema.shadow}
