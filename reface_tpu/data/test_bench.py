@@ -42,6 +42,14 @@ class TestBenchConfig:
             t0, s0 = 28000, 29000
         elif self.dataset == "ffhq":
             t0, s0 = 68000, 69000
+        elif self.dataset == "ff":
+            # FaceForensics++ 500-pair protocol (test_bench_dataset.py:651-701):
+            # explicit pair list shipped with the prepared data.
+            pairs_file = osp.join(self.dataset_dir, "pairs.txt")
+            with open(pairs_file) as f:
+                pairs = [tuple(map(int, line.split())) for line in f
+                         if line.strip()]
+            return pairs[: self.num_pairs]
         else:
             raise ValueError(f"unknown test bench dataset {self.dataset!r}")
         return [(t0 + i, s0 + i) for i in range(self.num_pairs)]
@@ -49,6 +57,8 @@ class TestBenchConfig:
     def img_path(self, idx: int) -> str:
         if self.dataset == "celeba":
             return osp.join(self.dataset_dir, "CelebA-HQ-img", f"{idx}.jpg")
+        if self.dataset == "ff":
+            return osp.join(self.dataset_dir, "images", f"{idx:05d}.png")
         return osp.join(self.dataset_dir, "images512", f"{idx:05d}.png")
 
     def mask_path(self, idx: int) -> str:
@@ -56,6 +66,8 @@ class TestBenchConfig:
             return osp.join(
                 self.dataset_dir, "CelebA-HQ-mask", "Overall_mask", f"{idx}.png"
             )
+        if self.dataset == "ff":
+            return osp.join(self.dataset_dir, "masks", f"{idx:05d}.png")
         return osp.join(self.dataset_dir, "BiSeNet_mask", f"{idx:05d}.png")
 
 

@@ -131,3 +131,17 @@ def ddim_sample(
 
     x_final, _ = jax.lax.scan(body, x_T, (tuple(map(jnp.asarray, xs)), step_keys))
     return x_final
+
+
+def stochastic_encode(
+    x0: jnp.ndarray, t: jnp.ndarray, tables: DDIMTables, key: jax.Array
+) -> jnp.ndarray:
+    """Noise x0 to DDIM step-index t (parity: ddim.py:572-585, table alphas).
+
+    t indexes the DDIM subset (0..S-1), not raw DDPM timesteps.
+    """
+    noise = jax.random.normal(key, x0.shape, x0.dtype)
+    shape = (-1,) + (1,) * (x0.ndim - 1)
+    a = jnp.sqrt(tables.alphas)[t].reshape(shape)
+    s = tables.sqrt_one_minus_alphas[t].reshape(shape)
+    return a * x0 + s * noise

@@ -70,10 +70,31 @@ class CrossAttention(nn.Module):
         dense = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=self.dtype, name=name
         )
-        q = dense(inner, "to_q")(x)
         ctx = x if context is None else context
         to_k = dense(inner, "to_k")
         to_v = dense(inner, "to_v")
+
+        if context is not None and ctx.shape[-2] == 1:
+            # Single-token context: softmax over one key is identically 1, so
+            # attention output == V broadcast over queries. Skip Q/K/logits
+            # entirely (exact, not an approximation). to_q/to_k params still
+            # exist for checkpoint parity.
+            dense(inner, "to_q")(x[..., :1, :])  # materialize params (DCE'd)
+            if ctx.shape[-1] == 2 * ctx_dim:
+                c1, c2 = jnp.split(ctx, 2, axis=-1)
+                s0 = self.head_splits[0] * self.dim_head
+                s1 = self.head_splits[1] * self.dim_head
+                to_k(c1)  # materialize to_k params
+                v = jnp.concatenate(
+                    [to_v(c1)[..., :s0], to_v(c2)[..., inner - s1:]], -1
+                )
+            else:
+                to_k(ctx)
+                v = to_v(ctx)
+            out = jnp.broadcast_to(v, x.shape[:-1] + (inner,))
+            return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+        q = dense(inner, "to_q")(x)
         if context is not None and ctx.shape[-1] == 2 * ctx_dim:
             # Split context: first half -> heads[:s0], second half -> heads[s0:].
             c1, c2 = jnp.split(ctx, 2, axis=-1)

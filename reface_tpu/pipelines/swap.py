@@ -59,6 +59,7 @@ class SwapConfig:
     image_size: int = 512
     latent_size: int = 64
     sample_posterior: bool = True  # reference samples the VAE posterior
+    start_noise_t: int = 999  # target_start_noise_t for prior starts
 
 
 class FaceSwapper:
@@ -122,9 +123,10 @@ class FaceSwapper:
         landmarks,  # (B,136) target 68-landmark pixel coords, or None
         key,  # PRNG key
         x_T=None,  # optional fixed initial noise (B,h,w,4)
+        prior_image=None,  # optional (B,S,S,3) prior in [-1,1] to start from
     ):
         cfg = self.config
-        k_noise, k_enc = jax.random.split(key)
+        k_noise, k_enc, k_prior = jax.random.split(key, 3)
         c, uc = self.build_context(params, ref_clip224, target_image, landmarks)
         z_inpaint = self.encode_latent(
             params, inpaint_image, k_enc if cfg.sample_posterior else None
@@ -134,7 +136,14 @@ class FaceSwapper:
         mask_latent = jax.image.resize(
             inpaint_mask, (b, hw, hw, 1), "bilinear"
         )
-        if x_T is None:
+        if x_T is None and prior_image is not None:
+            # Start_from_target/prior: q_sample the prior's latent at
+            # start_noise_t (inference_test_bench.py:414-436 semantics)
+            z_p = self.encode_latent(params, prior_image, k_prior)
+            t0 = jnp.full((b,), cfg.start_noise_t, jnp.int32)
+            noise = jax.random.normal(k_noise, z_p.shape, z_p.dtype)
+            x_T = self.schedule.q_sample(z_p, t0, noise)
+        elif x_T is None:
             x_T = jax.random.normal(k_noise, (b, hw, hw, 4), jnp.float32)
         model_fn = partial(self.unet_eps, params)
         if cfg.sampler == "plms":
@@ -159,13 +168,14 @@ class FaceSwapper:
         landmarks=None,
         key=None,
         x_T=None,
+        prior_image=None,
     ):
         """Run one fully-fused swap; returns (B,512,512,3) images in [-1,1]."""
         if key is None:
             key = jax.random.key(0)
         return self._jit_swap(
             self.params, target_image, inpaint_image, inpaint_mask,
-            ref_clip224, landmarks, key, x_T,
+            ref_clip224, landmarks, key, x_T, prior_image,
         )
 
     # ---- init helpers ----

@@ -1,0 +1,63 @@
+"""Single-token cross-attention shortcut must equal full attention exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reface_tpu.nn.layers import CrossAttention
+from reface_tpu.ops.attention import multi_head_attention
+
+
+def _full_attention_reference(params, x, ctx, heads, dim_head):
+    """The unshortcut path, computed manually from the same params."""
+    wq = params["params"]["to_q"]["kernel"]
+    wk = params["params"]["to_k"]["kernel"]
+    wv = params["params"]["to_v"]["kernel"]
+    wo = params["params"]["to_out"]["kernel"]
+    bo = params["params"]["to_out"]["bias"]
+    q = x @ wq
+    k = ctx @ wk
+    v = ctx @ wv
+    out = multi_head_attention(q, k, v, heads, use_flash=False)
+    return out @ wo + bo
+
+
+def test_single_token_context_exact():
+    m = CrossAttention(query_dim=32, context_dim=16, heads=4, dim_head=8)
+    x = jax.random.normal(jax.random.key(0), (2, 10, 32))
+    ctx = jax.random.normal(jax.random.key(1), (2, 1, 16))
+    p = m.init(jax.random.key(2), x, ctx)
+    out = m.apply(p, x, ctx)
+    ref = _full_attention_reference(p, x, ctx, 4, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_multi_token_context_unchanged():
+    m = CrossAttention(query_dim=32, context_dim=16, heads=4, dim_head=8)
+    x = jax.random.normal(jax.random.key(0), (2, 10, 32))
+    ctx = jax.random.normal(jax.random.key(1), (2, 3, 16))
+    p = m.init(jax.random.key(2), x, ctx)
+    out = m.apply(p, x, ctx)
+    ref = _full_attention_reference(p, x, ctx, 4, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_split_context_single_token_exact():
+    """1536-wide single-token context through the head-split path."""
+    m = CrossAttention(query_dim=64, context_dim=768, heads=8, dim_head=8,
+                       head_splits=(6, 2))
+    x = jax.random.normal(jax.random.key(0), (1, 5, 64))
+    ctx = jax.random.normal(jax.random.key(1), (1, 1, 1536))
+    p = m.init(jax.random.key(2), x, ctx)
+    out = m.apply(p, x, ctx)
+
+    # manual: v = concat(to_v(c1)[:48], to_v(c2)[-16:]); softmax(1 key)=1
+    wv = p["params"]["to_v"]["kernel"]
+    wo = p["params"]["to_out"]["kernel"]
+    bo = p["params"]["to_out"]["bias"]
+    c1, c2 = np.split(np.asarray(ctx), 2, axis=-1)
+    v1 = c1 @ np.asarray(wv)
+    v2 = c2 @ np.asarray(wv)
+    v = np.concatenate([v1[..., :48], v2[..., -16:]], -1)
+    ref = np.broadcast_to(v, (1, 5, 64)) @ np.asarray(wo) + np.asarray(bo)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
