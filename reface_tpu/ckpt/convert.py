@@ -509,6 +509,70 @@ def convert_bisenet(flax_shapes: Any, torch_sd: StateDict) -> dict:
     return _convert_by_rules(flax_shapes, torch_sd, _bisenet_rule)
 
 
+def convert_clip_vision(flax_shapes: Any, torch_sd: StateDict,
+                        prefix: str = "") -> dict:
+    """Standalone CLIPVisionTower (e.g. the ViT-B/32 FID tower) from an HF
+    CLIPModel state dict."""
+    if prefix:
+        torch_sd = {k[len(prefix):]: v for k, v in torch_sd.items()
+                    if k.startswith(prefix)}
+    if not any(k.startswith("model.") for k in torch_sd):
+        torch_sd = {f"model.{k}": v for k, v in torch_sd.items()}
+    wrapped = {"params": {"tower": flax_shapes["params"]}}
+    out = _convert_by_rules(wrapped, torch_sd, _clip_rule)
+    return {"params": out["params"]["tower"]}
+
+
+# ---------------------------------------------------------- ResNet-50 evals
+
+def _resnet50_rule(prefix: str = ""):
+    """Rule for torchvision-style ResNet-50 trunks (Hopenet / D3DFR)."""
+
+    def rule(path: tuple) -> tuple[str, Callable]:
+        p = list(path)
+        assert p[0] == "params"
+        p = p[1:]
+        leaf = p[-1]
+        top = p[0]
+        if top == "trunk":
+            p = p[1:]
+            top = p[0]
+        if top == "conv1":
+            return f"{prefix}conv1.weight", _conv_kernel
+        if top == "bn1":
+            return f"{prefix}bn1.{_BN_LEAF[leaf]}", _ID
+        m = re.match(r"layer(\d)_(\d+)$", top)
+        if m:
+            B = f"{prefix}layer{m.group(1)}.{m.group(2)}"
+            sub = p[1]
+            if sub in ("conv1", "conv2", "conv3"):
+                return f"{B}.{sub}.weight", _conv_kernel
+            if sub in ("bn1", "bn2", "bn3"):
+                return f"{B}.{sub}.{_BN_LEAF[leaf]}", _ID
+            if sub == "down_conv":
+                return f"{B}.downsample.0.weight", _conv_kernel
+            if sub == "down_bn":
+                return f"{B}.downsample.1.{_BN_LEAF[leaf]}", _ID
+        # dense heads: fc_yaw/fc_pitch/fc_roll (hopenet) or fc (facerecon)
+        m = re.match(r"fc(_\w+)?$", top)
+        if m:
+            tw = "weight" if leaf == "kernel" else "bias"
+            return f"{prefix}{top}.{tw}", _leaf_xform(leaf, "linear")
+        raise ValueError(f"unmapped resnet50 path {'/'.join(path)}")
+
+    return rule
+
+
+def convert_hopenet(flax_shapes: Any, torch_sd: StateDict,
+                    prefix: str = "") -> dict:
+    return _convert_by_rules(flax_shapes, torch_sd, _resnet50_rule(prefix))
+
+
+def convert_facerecon(flax_shapes: Any, torch_sd: StateDict,
+                      prefix: str = "") -> dict:
+    return _convert_by_rules(flax_shapes, torch_sd, _resnet50_rule(prefix))
+
+
 # ------------------------------------------------------- full checkpoint
 
 def convert_reface_checkpoint(

@@ -89,10 +89,19 @@ def main(argv=None):
 
         tower = CLIPVisionTower(CLIP_B32)
         if args.clip_ckpt:
-            raise NotImplementedError("CLIP eval ckpt conversion: use ckpt/")
-        elif not args.allow_random:
+            from reface_tpu.ckpt.convert import convert_clip_vision, load_torch_state_dict
+
+            shapes = jax.eval_shape(
+                tower.init, jax.random.key(0), jnp.zeros((1, 224, 224, 3))
+            )
+            p = convert_clip_vision(
+                jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
+                load_torch_state_dict(args.clip_ckpt),
+            )
+        elif args.allow_random:
+            p = tower.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+        else:
             raise SystemExit("--clip-ckpt required (or --allow-random)")
-        p = tower.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
         fa = clip_features(p, jnp.asarray(swap_imgs))
         fb = clip_features(p, jnp.asarray(tgt_imgs))
         results["clip_fid"] = clip_fid(fa, fb)
@@ -136,9 +145,20 @@ def main(argv=None):
         from reface_tpu.eval import Hopenet, pose_angles, pose_l2
 
         model = Hopenet()
-        if not args.allow_random and not args.hopenet_ckpt:
+        if args.hopenet_ckpt:
+            from reface_tpu.ckpt.convert import convert_hopenet, load_torch_state_dict
+
+            shapes = jax.eval_shape(
+                model.init, jax.random.key(0), jnp.zeros((1, 224, 224, 3))
+            )
+            p = convert_hopenet(
+                jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
+                load_torch_state_dict(args.hopenet_ckpt),
+            )
+        elif args.allow_random:
+            p = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+        else:
             raise SystemExit("--hopenet-ckpt required (or --allow-random)")
-        p = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
         a_t = pose_angles(p, jnp.asarray(tgt_imgs))
         a_s = pose_angles(p, jnp.asarray(swap_imgs))
         results["pose_l2_deg"] = pose_l2(a_t, a_s)
@@ -148,9 +168,20 @@ def main(argv=None):
         from reface_tpu.eval.backbones import FaceReconCoeffNet
 
         model = FaceReconCoeffNet()
-        if not args.allow_random and not args.facerecon_ckpt:
+        if args.facerecon_ckpt:
+            from reface_tpu.ckpt.convert import convert_facerecon, load_torch_state_dict
+
+            shapes = jax.eval_shape(
+                model.init, jax.random.key(0), jnp.zeros((1, 224, 224, 3))
+            )
+            p = convert_facerecon(
+                jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
+                load_torch_state_dict(args.facerecon_ckpt),
+            )
+        elif args.allow_random:
+            p = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+        else:
             raise SystemExit("--facerecon-ckpt required (or --allow-random)")
-        p = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
         e_t = expression_coeffs(p, jnp.asarray(tgt_imgs))
         e_s = expression_coeffs(p, jnp.asarray(swap_imgs))
         results["expression_l2"] = expression_l2(e_t, e_s)

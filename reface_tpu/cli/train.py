@@ -43,6 +43,12 @@ def main(argv=None):
     ap.add_argument("--image-log-every", type=int, default=500)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--val-every", type=int, default=0, help="0 = off")
+    ap.add_argument("--val-count", type=int, default=64)
+    ap.add_argument("--sample-log-every", type=int, default=0,
+                    help="generate swap samples every N steps (0 = off)")
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="0 = EMA off (shipped config)")
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args(argv)
     from reface_tpu.cli.common import apply_backend
@@ -77,7 +83,10 @@ def main(argv=None):
         if args.tiny
         else SwapConfig(image_size=args.image_size)
     )
-    train_cfg = TrainConfig(learning_rate=lr, warmup_steps=args.warmup_steps)
+    train_cfg = TrainConfig(
+        learning_rate=lr, warmup_steps=args.warmup_steps,
+        ema_decay=args.ema_decay or None,
+    )
     recon = ReconLossConfig() if args.full_losses else None
 
     params = FaceSwapper.init_params(swap_cfg, jax.random.key(args.seed))
@@ -92,7 +101,8 @@ def main(argv=None):
         params = load_params(args.resume, params)
         print(f"[train] resumed params from {args.resume}")
 
-    step_fn, _, init_state = make_train_step(swap_cfg, train_cfg, recon=recon)
+    step_fn, loss_fn, init_state = make_train_step(swap_cfg, train_cfg, recon=recon)
+    jit_loss = jax.jit(loss_fn)
     state = init_state(shard_params(params, mesh))
     jit_step = jax.jit(step_fn)
 
@@ -163,6 +173,41 @@ def main(argv=None):
                                          f"inputs_{step:08d}.png"),
                             [raw["target_image"][0], raw["inpaint_image"][0]],
                         )
+                    if args.sample_log_every and step % args.sample_log_every == 0:
+                        # ImageLogger parity: periodic swap samples with the
+                        # current (EMA when enabled) weights, few DDIM steps
+                        from reface_tpu.pipelines.swap import FaceSwapper
+                        from reface_tpu.pipelines.train import params_with_ema
+
+                        sample_cfg = swap_cfg.__class__(
+                            **{**swap_cfg.__dict__, "ddim_steps": 8}
+                        )
+                        sw = FaceSwapper(
+                            sample_cfg,
+                            params_with_ema(jax.device_get(state.params), state),
+                        )
+                        raw = jax.device_get(raw_batch)
+                        n = min(2, raw["target_image"].shape[0])
+                        out = sw.swap(
+                            target_image=raw["target_image"][:n],
+                            inpaint_image=raw["inpaint_image"][:n],
+                            inpaint_mask=raw["inpaint_mask"][:n],
+                            ref_clip224=raw["ref_clip224"][:n],
+                            key=jax.random.key(step),
+                        )
+                        save_grid_pm1(
+                            os.path.join(args.logdir, "images",
+                                         f"samples_{step:08d}.png"),
+                            [raw["target_image"][i] for i in range(n)]
+                            + [jax.device_get(out)[i] for i in range(n)],
+                        )
+                    if args.val_every and step % args.val_every == 0:
+                        vloss = float(
+                            jit_loss(state.params, raw_batch, jax.random.key(99))[0]
+                        )
+                        with open(metrics_path, "a") as f:
+                            f.write(json.dumps({"step": step,
+                                                "val_loss": vloss}) + "\n")
                     if want_ckpt["now"]:
                         want_ckpt["now"] = False
                         checkpoint(f"sig_{step:08d}")
