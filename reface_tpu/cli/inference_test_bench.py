@@ -34,6 +34,8 @@ def main(argv=None):
     ap.add_argument("--num-pairs", type=int, default=1000)
     ap.add_argument("--save-aux", action="store_true",
                     help="also dump grid/mask/GT/inpaint/ref")
+    ap.add_argument("--head-swap", action="store_true",
+                    help="universal head swap: extend masks with hair/hat")
     args = ap.parse_args(argv)
     apply_backend(args)
 
@@ -44,10 +46,16 @@ def main(argv=None):
 
     swapper = build_swapper(args)
     size = swapper.config.image_size
-    ds = TestBenchDataset(TestBenchConfig(
+    bench_kw = dict(
         dataset_dir=args.dataset_dir, dataset=args.dataset,
         image_size=size, num_pairs=args.num_pairs,
-    ))
+    )
+    if args.head_swap:
+        from reface_tpu.preprocess.masks import HEAD_SWAP_CELEBA
+
+        bench_kw.update(remove_tar=HEAD_SWAP_CELEBA,
+                        preserve_src=HEAD_SWAP_CELEBA)
+    ds = TestBenchDataset(TestBenchConfig(**bench_kw))
     loader = PrefetchLoader(ds, batch_size=args.n_samples, shuffle=False,
                             drop_last=False)
 

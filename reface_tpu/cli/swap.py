@@ -57,6 +57,8 @@ def main(argv=None):
     ap.add_argument("--bisenet-ckpt", default=None)
     ap.add_argument("--precropped", action="store_true",
                     help="inputs already aligned; skip detect/parse/paste")
+    ap.add_argument("--head-swap", action="store_true",
+                    help="universal head swap: include hair/accessories")
     args = ap.parse_args(argv)
     apply_backend(args)
 
@@ -96,7 +98,12 @@ def main(argv=None):
         return
 
     bn_params = lm_params = None
-    raw_cfg = RawPipelineConfig()
+    if args.head_swap:
+        from reface_tpu.preprocess.masks import HEAD_SWAP_SEG12
+
+        raw_cfg = RawPipelineConfig(seg12_face_classes=HEAD_SWAP_SEG12)
+    else:
+        raw_cfg = RawPipelineConfig()
     if args.bisenet_ckpt:
         from reface_tpu.ckpt.convert import convert_bisenet, load_torch_state_dict
         from reface_tpu.nn.bisenet import BiSeNet

@@ -34,6 +34,8 @@ __all__ = [
     "DEFAULT_PRESERVE_CELEBA",
     "DEFAULT_PRESERVE_CELEBA_SRC_TEST",
     "DEFAULT_PRESERVE_FFHQ_SEG12",
+    "HEAD_SWAP_CELEBA",
+    "HEAD_SWAP_SEG12",
 ]
 
 # 19 classes: index 0 = background
@@ -100,6 +102,12 @@ FACE_PARSING_TO_SEG12 = _lut(FACE_PARSING_LABELS, _TO_SEG12_BY_NAME, _SEG12)
 DEFAULT_PRESERVE_CELEBA = (1, 2, 4, 5, 8, 9, 6, 7, 10, 11, 12, 17)
 DEFAULT_PRESERVE_CELEBA_SRC_TEST = (1, 2, 4, 5, 8, 9, 6, 7, 10, 11, 12, 13, 17)
 DEFAULT_PRESERVE_FFHQ_SEG12 = (1, 2, 3, 5, 6, 7, 9)
+
+# "Universal head swap" — the reference's mask-shuffling capability is
+# exactly extending these lists with hair/hat/accessory classes
+# (SURVEY.md §2.2, BASELINE config #4).
+HEAD_SWAP_CELEBA = DEFAULT_PRESERVE_CELEBA + (13, 14)  # + hair, hat
+HEAD_SWAP_SEG12 = DEFAULT_PRESERVE_FFHQ_SEG12 + (4, 10, 11)  # + hair, glasses, earrings
 
 
 def remap(mask, lut) -> np.ndarray:
