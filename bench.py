@@ -63,16 +63,20 @@ def main():
         landmarks=jax.random.uniform(ks[4], (batch, 136)) * s,
     )
 
-    # warmup/compile
+    # warmup/compile. NOTE: the axon tunnel's block_until_ready can return
+    # before remote execution completes, so every timed iteration ends with a
+    # scalar host readback — that round trip is the only reliable sync here.
     out = swapper.swap(**batch_data, key=jax.random.key(2))
-    out.block_until_ready()
+    _ = float(jnp.mean(out))
 
     times = []
+    checks = []
     for i in range(args.iters):
         t0 = time.perf_counter()
         out = swapper.swap(**batch_data, key=jax.random.key(3 + i))
-        out.block_until_ready()
+        checks.append(float(jnp.mean(out)))  # forces completion
         times.append(time.perf_counter() - t0)
+    assert all(abs(c) < 1e6 for c in checks)
 
     best = min(times)
     swaps_per_sec = batch / best

@@ -106,6 +106,47 @@ def estimate_ffhq_masks(dataset_dir: str, bisenet_ckpt: str | None,
         print(f"[ffhq-masks] {min(i + batch, len(paths))}/{len(paths)}")
 
 
+def crop_and_mask(dataset_dir: str, out_dir: str, start: int, count: int,
+                  allow_random: bool = False, landmark_ckpt: str | None = None,
+                  bisenet_ckpt: str | None = None, batch: int = 4) -> None:
+    """Align + mask an id range (Crop_and_mask.py parity: the 29000-30000
+    eval source set) using the on-device raw pipeline stages."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from reface_tpu.pipelines.raw import RawPipelineConfig, RawSwapPipeline
+    from reface_tpu.pipelines.swap import FaceSwapper, tiny_swap_config
+
+    if not (allow_random or (landmark_ckpt and bisenet_ckpt)):
+        raise SystemExit("need --landmark-ckpt + --bisenet-ckpt (or --allow-random)")
+    # pipeline stages only; the swapper isn't used, any tiny one satisfies ctor
+    sw = FaceSwapper(tiny_swap_config(), FaceSwapper.init_params(
+        tiny_swap_config(), jax.random.key(0)))
+    pipe = RawSwapPipeline(sw, RawPipelineConfig())
+    os.makedirs(os.path.join(out_dir, "crops"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "masks"), exist_ok=True)
+    ids = list(range(start, start + count))
+    for i in range(0, len(ids), batch):
+        chunk = ids[i : i + batch]
+        imgs = []
+        for idx in chunk:
+            p_img = os.path.join(dataset_dir, "CelebA-HQ-img", f"{idx}.jpg")
+            imgs.append(cv2.cvtColor(cv2.imread(p_img), cv2.COLOR_BGR2RGB))
+        arr = np.stack(imgs).astype(np.float32) / 255.0
+        x = jnp.asarray(arr)
+        lm = pipe.detect_landmarks(x)
+        crops, _ = pipe.align(x, lm)
+        seg = pipe.parse(crops)
+        for j, idx in enumerate(chunk):
+            u8 = np.clip(np.asarray(crops[j]) * 255, 0, 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(out_dir, "crops", f"{idx}.png"),
+                        cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(os.path.join(out_dir, "masks", f"{idx}.png"),
+                        np.asarray(seg[j]).astype(np.uint8))
+        print(f"[crop-and-mask] {min(i + batch, len(ids))}/{len(ids)}")
+
+
 def expand_sd_checkpoint(src: str, dst: str) -> None:
     """modify_checkpoints.py parity: 4->9 channel conv_in zero-pad."""
     import torch
@@ -136,6 +177,15 @@ def main(argv=None):
     x = sub.add_parser("expand-sd-checkpoint")
     x.add_argument("--src", required=True)
     x.add_argument("--dst", required=True)
+    c = sub.add_parser("crop-and-mask")
+    c.add_argument("--dataset-dir", required=True)
+    c.add_argument("--out-dir", required=True)
+    c.add_argument("--start", type=int, default=29000)
+    c.add_argument("--count", type=int, default=1000)
+    c.add_argument("--allow-random", action="store_true")
+    c.add_argument("--landmark-ckpt", default=None)
+    c.add_argument("--bisenet-ckpt", default=None)
+    c.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args(argv)
 
     if args.cmd == "merge-celeba-masks":
@@ -148,6 +198,12 @@ def main(argv=None):
                             args.allow_random)
     elif args.cmd == "expand-sd-checkpoint":
         expand_sd_checkpoint(args.src, args.dst)
+    elif args.cmd == "crop-and-mask":
+        from reface_tpu.cli.common import apply_backend
+
+        apply_backend(args)
+        crop_and_mask(args.dataset_dir, args.out_dir, args.start, args.count,
+                      args.allow_random, args.landmark_ckpt, args.bisenet_ckpt)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,7 @@ class TrainConfig:
     num_timesteps: int = 1000
     grad_clip: Optional[float] = None
     ema_decay: Optional[float] = None  # shipped config: use_ema False
+    accumulate: int = 1  # Lightning accumulate_grad_batches equivalent
 
 
 def trainable_labels(params: dict[str, Any]):
@@ -76,9 +77,12 @@ def make_optimizer(cfg: TrainConfig, params):
     tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
     if cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, trainable_labels(params)
     )
+    if cfg.accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate)
+    return tx
 
 
 @jax.tree_util.register_dataclass
