@@ -19,6 +19,16 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent XLA compilation cache: the fused 512px DDIM-50 program takes
+# ~15 min to compile over the axon tunnel; caching cuts reruns to seconds.
+import os as _os
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _cast_params(params, dtype):
     return jax.tree.map(

@@ -583,7 +583,6 @@ def convert_reface_checkpoint(
     last.ckpt (+ standalone CLIP / ArcFace state dicts when the combined
     checkpoint doesn't embed them under its own prefixes)."""
     import jax
-    import jax.numpy as jnp
     from reface_tpu.pipelines.swap import FaceSwapper
 
     shapes = jax.eval_shape(

@@ -12,8 +12,6 @@ Expressed as optax-compatible schedules (step -> multiplier)."""
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax.numpy as jnp
 
 __all__ = ["lambda_linear", "lambda_warmup_cosine", "scale_lr"]

@@ -10,8 +10,6 @@ from __future__ import annotations
 import dataclasses
 import os.path as osp
 
-import numpy as np
-
 from reface_tpu.data.celeba import CelebAHQDataset, CelebAHQConfig
 
 __all__ = ["FFHQConfig", "FFHQDataset"]

@@ -18,7 +18,6 @@ the loop. eta=0 (the shipped config) compiles the noise term away entirely.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

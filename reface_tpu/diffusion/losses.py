@@ -31,7 +31,7 @@ decodes/towers run under the same jit; use UNetConfig.remat for memory.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ the whole ramp-up.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -16,8 +16,6 @@ plain dense layers over pooled features.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax.numpy as jnp
 from flax import linen as nn
 

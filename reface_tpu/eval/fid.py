@@ -14,8 +14,6 @@ matrix sqrt runs on host in float64 via scipy (tiny 512x512).
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ everything is NHWC bf16-friendly with fp32 normalization.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ columns contribute nothing to logits (zeros) and are sliced off the output.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -22,7 +22,6 @@ fp32 params/optimizer state; UNet blocks rematerialized via UNetConfig.remat.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax
