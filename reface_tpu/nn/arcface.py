@@ -162,11 +162,14 @@ def arcface_preprocess_from_clip(x: jnp.ndarray) -> jnp.ndarray:
     """CLIP-normalized (B,224,224,3) -> ArcFace (B,112,112,3) input.
 
     Parity with IDLoss.extract_feats (ddpm.py:112-124): un-CLIP-norm to [0,1],
-    renorm to [-1,1], (bilinear) pool to 256, crop [35:223,32:220], pool 112.
+    renorm to [-1,1], adaptive-avg-pool to 256, crop [35:223,32:220],
+    adaptive-avg-pool to 112 (exact AdaptiveAvgPool2d semantics).
     """
+    from reface_tpu.ops.pooling import adaptive_avg_pool2d
+
     x = x * CLIP_STD + CLIP_MEAN  # back to [0,1]
     x = x * 2.0 - 1.0
-    x = jax.image.resize(x, (x.shape[0], 256, 256, 3), "bilinear")
+    x = adaptive_avg_pool2d(x, 256, 256)
     t, b, l, r = ARC_FACE_CROP
     x = x[:, t:b, l:r, :]
-    return jax.image.resize(x, (x.shape[0], 112, 112, 3), "bilinear")
+    return adaptive_avg_pool2d(x, 112, 112)

@@ -171,13 +171,14 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             return FaceSwapper.decode_latent(swapper_model, params, latent)
 
         def embed_id_fn(img_pm1):
-            # IDLoss.extract_feats with clip_img=False (ddpm.py:112-124)
-            x = jax.image.resize(
-                img_pm1, (img_pm1.shape[0], 256, 256, 3), "bilinear"
-            )
+            # IDLoss.extract_feats with clip_img=False (ddpm.py:112-124),
+            # exact AdaptiveAvgPool2d semantics
+            from reface_tpu.ops.pooling import adaptive_avg_pool2d
+
+            x = adaptive_avg_pool2d(img_pm1, 256, 256)
             tcrop, bcrop, lcrop, rcrop = ARC_FACE_CROP
             x = x[:, tcrop:bcrop, lcrop:rcrop, :]
-            x = jax.image.resize(x, (x.shape[0], 112, 112, 3), "bilinear")
+            x = adaptive_avg_pool2d(x, 112, 112)
             return swapper_model.conditioner.apply(
                 params["conditioner"],
                 method=lambda m, xx: m.face_id(xx),

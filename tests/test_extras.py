@@ -99,3 +99,23 @@ def test_ff_pairs_file(tmp_path):
     cfg = TestBenchConfig(dataset_dir=str(tmp_path), dataset="ff", num_pairs=10)
     assert cfg.pair_ids() == [(7, 12), (3, 4)]
     assert cfg.img_path(7).endswith("images/00007.png")
+
+
+def test_adaptive_avg_pool2d_torch_parity():
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from reface_tpu.ops.pooling import adaptive_avg_pool2d
+
+    rng = np.random.default_rng(0)
+    for (h, w, oh, ow) in [(224, 224, 256, 256), (188, 188, 112, 112),
+                           (7, 9, 3, 5)]:
+        x = rng.normal(size=(2, h, w, 3)).astype(np.float32)
+        ref = torch.nn.functional.adaptive_avg_pool2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), (oh, ow)
+        ).numpy()
+        out = adaptive_avg_pool2d(jnp.asarray(x), oh, ow)
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, atol=2e-5,
+            err_msg=f"{h}x{w}->{oh}x{ow}",
+        )
