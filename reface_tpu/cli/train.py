@@ -45,6 +45,8 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--val-every", type=int, default=0, help="0 = off")
     ap.add_argument("--val-count", type=int, default=64)
+    ap.add_argument("--keep-top-k", type=int, default=3,
+                    help="retain k best val-loss checkpoints (ref keeps 30)")
     ap.add_argument("--sample-log-every", type=int, default=0,
                     help="generate swap samples every N steps (0 = off)")
     ap.add_argument("--ema-decay", type=float, default=0.0,
@@ -149,6 +151,24 @@ def main(argv=None):
                     metadata={"step": int(state.step)})
         print(f"[train] checkpoint -> {path}")
 
+    top_k: list[tuple[float, str]] = []  # (val_loss, tag), best first
+
+    def maybe_top_k(vloss, step_no):
+        """ModelCheckpoint parity: keep the k best checkpoints by val loss."""
+        import shutil
+
+        if len(top_k) < args.keep_top_k or vloss < top_k[-1][0]:
+            tag = f"best_{step_no:08d}_loss{vloss:.4f}"
+            checkpoint(tag)
+            top_k.append((vloss, tag))
+            top_k.sort(key=lambda t: t[0])
+            while len(top_k) > args.keep_top_k:
+                _, old = top_k.pop()
+                shutil.rmtree(
+                    os.path.join(args.logdir, "checkpoints", old),
+                    ignore_errors=True,
+                )
+
     key = jax.random.key(args.seed + 1)
     step = 0
     t0 = time.perf_counter()
@@ -208,6 +228,7 @@ def main(argv=None):
                         with open(metrics_path, "a") as f:
                             f.write(json.dumps({"step": step,
                                                 "val_loss": vloss}) + "\n")
+                        maybe_top_k(vloss, step)
                     if want_ckpt["now"]:
                         want_ckpt["now"] = False
                         checkpoint(f"sig_{step:08d}")
