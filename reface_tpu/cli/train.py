@@ -135,6 +135,23 @@ def main(argv=None):
     loader = PrefetchLoader(ds, batch_size=world_batch, shuffle=True,
                             seed=args.seed, device_put=to_batch)
 
+    val_loader = None
+    if args.val_every:
+        if args.dataset == "celeba":
+            val_ds = CelebAHQDataset(CelebAHQConfig(
+                dataset_dir=args.dataset_dir, state="validation",
+                image_size=args.image_size, train_count=args.train_count,
+                eval_count=args.val_count, data_seed=args.seed,
+            ))
+        else:
+            val_ds = FFHQDataset(FFHQConfig(
+                dataset_dir=args.dataset_dir, state="validation",
+                image_size=args.image_size, train_count=args.train_count,
+                eval_count=args.val_count, data_seed=args.seed,
+            ))
+        val_loader = PrefetchLoader(val_ds, batch_size=world_batch,
+                                    shuffle=False, device_put=to_batch)
+
     os.makedirs(os.path.join(args.logdir, "checkpoints"), exist_ok=True)
     os.makedirs(os.path.join(args.logdir, "images"), exist_ok=True)
     metrics_path = os.path.join(args.logdir, "metrics.jsonl")
@@ -222,9 +239,12 @@ def main(argv=None):
                             + [jax.device_get(out)[i] for i in range(n)],
                         )
                     if args.val_every and step % args.val_every == 0:
-                        vloss = float(
-                            jit_loss(state.params, raw_batch, jax.random.key(99))[0]
-                        )
+                        vlosses = []
+                        for vb in val_loader:
+                            vlosses.append(float(
+                                jit_loss(state.params, vb, jax.random.key(99))[0]
+                            ))
+                        vloss = float(np.mean(vlosses)) if vlosses else float("nan")
                         with open(metrics_path, "a") as f:
                             f.write(json.dumps({"step": step,
                                                 "val_loss": vloss}) + "\n")
