@@ -36,6 +36,8 @@ def main(argv=None):
                     help="also dump grid/mask/GT/inpaint/ref")
     ap.add_argument("--head-swap", action="store_true",
                     help="universal head swap: extend masks with hair/hat")
+    ap.add_argument("--landmark-ckpt", default=None,
+                    help="LandmarkNet params; enables landmark conditioning")
     args = ap.parse_args(argv)
     apply_backend(args)
 
@@ -46,6 +48,25 @@ def main(argv=None):
 
     swapper = build_swapper(args)
     size = swapper.config.image_size
+
+    landmark_fn = None
+    if args.landmark_ckpt:
+        # get_landmarks parity: 68-point coords of the TARGET feed the
+        # conditioning fusion (ddpm.py:1068-1099), batched on device here
+        from reface_tpu.ckpt.io import load_params
+        from reface_tpu.nn.landmarks import LandmarkNet, LandmarkNetConfig
+
+        lm_net = LandmarkNet(LandmarkNetConfig())
+        lm_params = load_params(args.landmark_ckpt)
+        lm_s = lm_net.config.input_size
+
+        @jax.jit
+        def landmark_fn(tgt_pm1):
+            x = jax.image.resize(
+                tgt_pm1, (tgt_pm1.shape[0], lm_s, lm_s, 3), "bilinear"
+            )
+            lm = lm_net.apply(lm_params, x)
+            return lm * (size / lm_s)
     bench_kw = dict(
         dataset_dir=args.dataset_dir, dataset=args.dataset,
         image_size=size, num_pairs=args.num_pairs,
@@ -72,11 +93,14 @@ def main(argv=None):
                 for k, v in batch.items()
             }
         key, sub = jax.random.split(key)
+        tgt = jnp.asarray(batch["target_image"])
+        lm = landmark_fn(tgt) if landmark_fn is not None else None
         out = swapper.swap(
-            target_image=jnp.asarray(batch["target_image"]),
+            target_image=tgt,
             inpaint_image=jnp.asarray(batch["inpaint_image"]),
             inpaint_mask=jnp.asarray(batch["inpaint_mask"]),
             ref_clip224=jnp.asarray(batch["ref_clip224"]),
+            landmarks=lm,
             key=sub,
         )
         out = np.asarray(out)[:b]

@@ -116,14 +116,12 @@ def crop_and_mask(dataset_dir: str, out_dir: str, start: int, count: int,
     import jax.numpy as jnp
 
     from reface_tpu.pipelines.raw import RawPipelineConfig, RawSwapPipeline
-    from reface_tpu.pipelines.swap import FaceSwapper, tiny_swap_config
+    from reface_tpu.pipelines.swap import SwapModules, tiny_swap_config
 
     if not (allow_random or (landmark_ckpt and bisenet_ckpt)):
         raise SystemExit("need --landmark-ckpt + --bisenet-ckpt (or --allow-random)")
-    # pipeline stages only; the swapper isn't used, any tiny one satisfies ctor
-    sw = FaceSwapper(tiny_swap_config(), FaceSwapper.init_params(
-        tiny_swap_config(), jax.random.key(0)))
-    pipe = RawSwapPipeline(sw, RawPipelineConfig())
+    # only the detection/alignment/parsing stages are used
+    pipe = RawSwapPipeline(SwapModules(tiny_swap_config()), RawPipelineConfig())
     os.makedirs(os.path.join(out_dir, "crops"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "masks"), exist_ok=True)
     ids = list(range(start, start + count))

@@ -1,3 +1,8 @@
-from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
+from reface_tpu.pipelines.swap import (
+    FaceSwapper,
+    SwapConfig,
+    SwapModules,
+    tiny_swap_config,
+)
 
-__all__ = ["FaceSwapper", "SwapConfig", "tiny_swap_config"]
+__all__ = ["FaceSwapper", "SwapConfig", "SwapModules", "tiny_swap_config"]

@@ -62,25 +62,15 @@ class SwapConfig:
     start_noise_t: int = 999  # target_start_noise_t for prior starts
 
 
-class FaceSwapper:
-    """Holds params + configs and exposes a jitted `swap`.
+class SwapModules:
+    """Stateless module container shared by inference and training: the
+    three flax towers + per-stage helpers, all taking params explicitly."""
 
-    params: {"unet": ..., "vae": ..., "conditioner": ...} flax param trees.
-    """
-
-    def __init__(self, config: SwapConfig, params: dict[str, Any]):
+    def __init__(self, config: SwapConfig):
         self.config = config
-        self.params = params
         self.unet = UNetModel(config.unet)
         self.vae = AutoencoderKL(config.vae)
         self.conditioner = REFaceConditioner(config.conditioner)
-        self.schedule = DiffusionSchedule.create()
-        self.tables = DDIMTables.create(
-            self.schedule, config.ddim_steps, eta=config.eta
-        )
-        self._jit_swap = jax.jit(self._swap_impl)
-
-    # ---- stages (each usable standalone, all fused in swap) ----
 
     def encode_latent(self, params, image, key=None):
         post = self.vae.apply(
@@ -110,6 +100,22 @@ class FaceSwapper:
 
     def unet_eps(self, params, x9, t, context):
         return self.unet.apply(params["unet"], x9, t, context)
+
+
+class FaceSwapper(SwapModules):
+    """SwapModules + params + sampler tables, exposing one jitted `swap`.
+
+    params: {"unet": ..., "vae": ..., "conditioner": ...} flax param trees.
+    """
+
+    def __init__(self, config: SwapConfig, params: dict[str, Any]):
+        super().__init__(config)
+        self.params = params
+        self.schedule = DiffusionSchedule.create()
+        self.tables = DDIMTables.create(
+            self.schedule, config.ddim_steps, eta=config.eta
+        )
+        self._jit_swap = jax.jit(self._swap_impl)
 
     # ---- the fused program ----
 

@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import optax
 
 from reface_tpu.core.schedules import DiffusionSchedule
-from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, clip_normalize, un_norm
+from reface_tpu.pipelines.swap import (
+    FaceSwapper,
+    SwapConfig,
+    SwapModules,
+    clip_normalize,
+    un_norm,
+)
 from reface_tpu.nn.conditioner import REFaceConditioner
 
 __all__ = ["TrainConfig", "TrainState", "make_optimizer", "trainable_labels",
@@ -115,14 +121,8 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
     from reface_tpu.diffusion.losses import ReconLossConfig, reface_losses
     from reface_tpu.nn.arcface import ARC_FACE_CROP
     from reface_tpu.nn.lpips import LPIPS
-    from reface_tpu.nn.unet import UNetModel
-    from reface_tpu.nn.vae import AutoencoderKL
 
-    swapper_model = FaceSwapper.__new__(FaceSwapper)  # module container only
-    swapper_model.config = swap_cfg
-    swapper_model.unet = UNetModel(swap_cfg.unet)
-    swapper_model.vae = AutoencoderKL(swap_cfg.vae)
-    swapper_model.conditioner = REFaceConditioner(swap_cfg.conditioner)
+    swapper_model = SwapModules(swap_cfg)
     lpips_model = LPIPS()
     schedule = DiffusionSchedule.create(timesteps=train_cfg.num_timesteps)
     tx_holder = {}
@@ -132,8 +132,8 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
         b = batch["target_image"].shape[0]
 
         # --- conditioning (towers frozen; stop_gradient enforced by optimizer mask)
-        c, uc = FaceSwapper.build_context(
-            swapper_model, params, batch["ref_clip224"], batch["target_image"],
+        c, uc = swapper_model.build_context(
+            params, batch["ref_clip224"], batch["target_image"],
             batch.get("landmarks"),
         )
         # CFG dropout: per-sample swap to the null token
@@ -141,10 +141,10 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
         c = jnp.where(drop, uc, c)
 
         # --- latent assembly (z, z_inpaint, mask) : get_input parity
-        z = FaceSwapper.encode_latent(swapper_model, params, batch["target_image"], ke1)
+        z = swapper_model.encode_latent(params, batch["target_image"], ke1)
         z = jax.lax.stop_gradient(z)
-        z_inpaint = FaceSwapper.encode_latent(
-            swapper_model, params, batch["inpaint_image"], ke2
+        z_inpaint = swapper_model.encode_latent(
+            params, batch["inpaint_image"], ke2
         )
         z_inpaint = jax.lax.stop_gradient(z_inpaint)
         hw = z.shape[1]
@@ -168,7 +168,7 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             return loss_simple, {"loss_simple": loss_simple}
 
         def decode_fn(latent):
-            return FaceSwapper.decode_latent(swapper_model, params, latent)
+            return swapper_model.decode_latent(params, latent)
 
         def embed_id_fn(img_pm1):
             # IDLoss.extract_feats with clip_img=False (ddpm.py:112-124),
