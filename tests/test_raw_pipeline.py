@@ -1,0 +1,45 @@
+"""RawSwapPipeline: detect -> align -> parse -> swap -> paste-back (tiny)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reface_tpu.nn.bisenet import BiSeNetConfig
+from reface_tpu.nn.landmarks import LandmarkNetConfig
+from reface_tpu.pipelines import FaceSwapper, tiny_swap_config
+from reface_tpu.pipelines.raw import RawPipelineConfig, RawSwapPipeline
+
+
+def _tiny_raw_cfg():
+    return RawPipelineConfig(
+        align_size=64,
+        parse_size=64,
+        landmark=LandmarkNetConfig(widths=(8, 16, 32, 32), input_size=64,
+                                   dtype=jnp.float32),
+        bisenet=BiSeNetConfig(dtype=jnp.float32),
+    )
+
+
+def test_raw_pipeline_stages_and_end_to_end():
+    swap_cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    sw = FaceSwapper(swap_cfg, FaceSwapper.init_params(swap_cfg, jax.random.key(0)))
+    pipe = RawSwapPipeline(sw, _tiny_raw_cfg())
+
+    tgt = jax.random.uniform(jax.random.key(1), (2, 96, 96, 3))
+    src = jax.random.uniform(jax.random.key(2), (2, 80, 80, 3))
+
+    lm = pipe.detect_landmarks(tgt)
+    assert lm.shape == (2, 68, 2)
+    assert float(lm[..., 0].max()) <= 96 and float(lm.min()) >= 0
+
+    crops, quads = pipe.align(tgt, lm)
+    assert crops.shape == (2, 64, 64, 3) and quads.shape == (2, 4, 2)
+
+    seg = pipe.parse(crops)
+    assert seg.shape == (2, 64, 64) and seg.dtype == jnp.int32
+    assert int(seg.max()) < 12  # seg12 vocabulary
+
+    out = pipe.swap_images(tgt, src, key=jax.random.key(3))
+    assert out.shape == tgt.shape
+    assert bool(jnp.isfinite(out).all())
+    assert float(out.min()) >= -1e-3 and float(out.max()) <= 1.001
