@@ -139,9 +139,10 @@ class FaceSwapper(SwapModules):
         )
         b = target_image.shape[0]
         hw = cfg.latent_size
-        mask_latent = jax.image.resize(
-            inpaint_mask, (b, hw, hw, 1), "bilinear"
-        )
+        # torch Resize semantics (no antialias) for the latent mask
+        from reface_tpu.ops.resize import resize_bilinear_no_aa
+
+        mask_latent = resize_bilinear_no_aa(inpaint_mask, hw, hw)
         if x_T is None and prior_image is not None:
             # Start_from_target/prior: q_sample the prior's latent at
             # start_noise_t (inference_test_bench.py:414-436 semantics)

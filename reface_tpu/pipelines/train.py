@@ -148,7 +148,9 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
         )
         z_inpaint = jax.lax.stop_gradient(z_inpaint)
         hw = z.shape[1]
-        mask_l = jax.image.resize(batch["inpaint_mask"], (b, hw, hw, 1), "bilinear")
+        from reface_tpu.ops.resize import resize_bilinear_no_aa
+
+        mask_l = resize_bilinear_no_aa(batch["inpaint_mask"], hw, hw)
         z9 = jnp.concatenate([z, z_inpaint, mask_l], axis=-1)
 
         t = jax.random.randint(kt, (b,), 0, train_cfg.num_timesteps)

@@ -119,3 +119,24 @@ def test_adaptive_avg_pool2d_torch_parity():
             np.asarray(out).transpose(0, 3, 1, 2), ref, atol=2e-5,
             err_msg=f"{h}x{w}->{oh}x{ow}",
         )
+
+
+def test_resize_no_antialias_torch_parity():
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from reface_tpu.ops.resize import resize_bilinear_no_aa
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 512, 512, 1)).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), (64, 64), mode="bilinear",
+        align_corners=False, antialias=False,
+    ).numpy()
+    out = resize_bilinear_no_aa(jnp.asarray(x), 64, 64)
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-5
+    )
+    # and that it differs from jax's antialiased resize (the old behavior)
+    aa = jax.image.resize(jnp.asarray(x), (2, 64, 64, 1), "bilinear")
+    assert float(jnp.abs(aa - out).max()) > 0.01
