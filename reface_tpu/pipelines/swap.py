@@ -189,23 +189,26 @@ class FaceSwapper(SwapModules):
 
     @staticmethod
     def init_params(config: SwapConfig, key: jax.Array, batch: int = 1):
-        """Random-init all towers (for tests/bench without checkpoints)."""
+        """Random-init all towers (for tests/bench without checkpoints).
+
+        Inits are jitted: un-jitted flax init dispatches hundreds of ops
+        one-by-one, which is very slow over the axon tunnel."""
         k1, k2, k3 = jax.random.split(key, 3)
         unet = UNetModel(config.unet)
         vae = AutoencoderKL(config.vae)
         cond = REFaceConditioner(config.conditioner)
         hw = config.latent_size
         params = {
-            "unet": unet.init(
+            "unet": jax.jit(unet.init)(
                 k1,
                 jnp.zeros((batch, hw, hw, 9)),
                 jnp.zeros((batch,), jnp.int32),
                 jnp.zeros((batch, 1, config.conditioner.context_dim)),
             ),
-            "vae": vae.init(
+            "vae": jax.jit(vae.init)(
                 k2, jnp.zeros((batch, config.image_size, config.image_size, 3))
             ),
-            "conditioner": cond.init(
+            "conditioner": jax.jit(cond.init)(
                 k3,
                 jnp.zeros((batch, 224, 224, 3)),
                 jnp.zeros((batch, 224, 224, 3)),
