@@ -381,3 +381,23 @@ int rn_ert_predict(const uint8_t* gray, int h, int w,
 int rn_ert_n_points() { return g_model ? g_model->n_points : 0; }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batched ERT evaluation: images flattened contiguously, OpenMP over items.
+int rn_ert_predict_batch(const uint8_t* grays, int n, int h, int w,
+                         const float* boxes /* n*4 */, float* out /* n*np*2 */) {
+  if (!g_model) return -1;
+  int np2 = g_model->n_points * 2;
+  int rc = 0;
+#pragma omp parallel for
+  for (int i = 0; i < n; ++i) {
+    int r = rn_ert_predict(grays + (size_t)i * h * w, h, w, boxes[i * 4],
+                           boxes[i * 4 + 1], boxes[i * 4 + 2],
+                           boxes[i * 4 + 3], out + (size_t)i * np2);
+    if (r != 0) rc = r;
+  }
+  return rc;
+}
+
+}  // extern "C"

@@ -32,6 +32,7 @@ __all__ = [
     "u8_to_clip",
     "ert_load",
     "ert_predict",
+    "ert_predict_batch",
 ]
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -76,6 +77,8 @@ def _load():
     lib.rn_ert_predict.argtypes = [u8p, ctypes.c_int, ctypes.c_int] + [ctypes.c_float] * 4 + [f32p]
     lib.rn_ert_predict.restype = ctypes.c_int
     lib.rn_ert_n_points.restype = ctypes.c_int
+    lib.rn_ert_predict_batch.argtypes = [u8p] + [ctypes.c_int] * 3 + [f32p, f32p]
+    lib.rn_ert_predict_batch.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -168,6 +171,22 @@ def ert_load(path: str) -> None:
     rc = lib.rn_ert_load(path.encode())
     if rc != 0:
         raise RuntimeError(f"ert model load failed rc={rc}")
+
+
+def ert_predict_batch(grays: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """grays: (N,H,W) uint8; boxes: (N,4). Returns (N, n_points, 2)."""
+    lib = _load()
+    grays = np.ascontiguousarray(grays, np.uint8)
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    n, h, w = grays.shape
+    npts = lib.rn_ert_n_points()
+    if npts == 0:
+        raise RuntimeError("no ERT model loaded")
+    out = np.empty((n, npts, 2), np.float32)
+    rc = lib.rn_ert_predict_batch(_up(grays), n, h, w, _fp(boxes), _fp(out))
+    if rc != 0:
+        raise RuntimeError(f"ert batch predict failed rc={rc}")
+    return out
 
 
 def ert_predict(gray: np.ndarray, box) -> np.ndarray:

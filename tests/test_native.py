@@ -107,3 +107,28 @@ def test_ert_load_rejects_garbage(tmp_path):
     p.write_bytes(b"not a model")
     with pytest.raises(RuntimeError):
         rn.ert_load(str(p))
+
+
+def test_ert_batch_matches_single(tmp_path):
+    from tools.convert_dlib_sp import write_model
+
+    n_points, depth, n_feats = 4, 1, 4
+    init = np.tile([0.25, 0.75], n_points).astype(np.float32)
+    splits = [(0, 1, -1.0)]
+    leaves = np.zeros((2, n_points * 2), np.float32)
+    leaves[0] = 0.05
+    cascades = [dict(anchors=np.zeros(n_feats, np.int32),
+                     deltas=np.zeros((n_feats, 2), np.float32),
+                     trees=[(splits, leaves)])]
+    path = str(tmp_path / "b.rert")
+    write_model(path, init, cascades)
+    rn.ert_load(path)
+
+    rng = np.random.default_rng(0)
+    grays = rng.integers(0, 255, (3, 50, 60), np.uint8)
+    boxes = np.array([[5, 5, 45, 45], [0, 0, 59, 49], [10, 2, 30, 40]],
+                     np.float32)
+    batch = rn.ert_predict_batch(grays, boxes)
+    for i in range(3):
+        single = rn.ert_predict(grays[i], boxes[i])
+        np.testing.assert_allclose(batch[i], single)

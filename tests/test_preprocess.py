@@ -161,3 +161,15 @@ def test_paste_back_roundtrip():
     )
     # far corners untouched
     np.testing.assert_array_equal(np.asarray(out[:8, :8]), 0.0)
+
+
+def test_face_bbox_from_mask():
+    from reface_tpu.preprocess.detect import face_bbox_from_mask
+
+    seg = np.zeros((2, 32, 32), np.int32)
+    seg[0, 8:20, 10:25] = 6  # skin blob
+    boxes, valid = face_bbox_from_mask(jnp.asarray(seg), min_pixels=10)
+    assert bool(valid[0]) and not bool(valid[1])
+    np.testing.assert_allclose(np.asarray(boxes[0]), [10, 8, 24, 19])
+    # no face -> full-frame fallback
+    np.testing.assert_allclose(np.asarray(boxes[1]), [0, 0, 31, 31])
