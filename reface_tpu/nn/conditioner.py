@@ -77,10 +77,15 @@ class REFaceConditioner(nn.Module):
 
         The caller is responsible for producing tar_clip224 from the [-1,1]
         target image (un-norm -> CLIP-norm -> resize 224), matching
-        ddpm.py:907-915.
+        ddpm.py:907-915. Source and target ride the CLIP tower as ONE 2B
+        batch (identical numerics, one MXU program instead of two).
         """
-        c_src = self.proj_out_source(self.clip_embed(ref_clip224))
-        c_tar = self.proj_out_target(self.clip_embed(tar_clip224))
+        b = ref_clip224.shape[0]
+        z = self.clip_embed(
+            jnp.concatenate([ref_clip224, tar_clip224], axis=0)
+        )
+        c_src = self.proj_out_source(z[:b])
+        c_tar = self.proj_out_target(z[b:])
         c_clip = c_src + c_tar
 
         id_in = arcface_preprocess_from_clip(ref_clip224)
