@@ -31,6 +31,9 @@ def add_model_args(ap):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--tiny", action="store_true",
                     help="random tiny model (smoke runs without weights)")
+    ap.add_argument("--save-params", default=None, metavar="DIR",
+                    help="after loading/converting, save params as an orbax "
+                         "dir (fast reload via --ckpt DIR)")
     ap.add_argument("--weights-dtype", default="bfloat16")
     ap.add_argument("--overrides", nargs="*", default=[],
                     help="dotlist config overrides a.b=v")
@@ -74,6 +77,12 @@ def build_swapper(args):
             load_torch_state_dict(args.arcface_ckpt) if args.arcface_ckpt else None
         )
         params = convert_reface_checkpoint(cfg, sd, clip_sd, af_sd)
+
+    if getattr(args, "save_params", None):
+        from reface_tpu.ckpt import save_params
+
+        save_params(args.save_params, jax.device_get(params))
+        print(f"[ckpt] saved converted params -> {args.save_params}")
 
     wd = jnp.dtype(args.weights_dtype)
     if wd != jnp.float32:

@@ -64,8 +64,32 @@ def main(argv=None):
     src01 = jnp.asarray(src.astype(np.float32) / 255.0)[None]
 
     key = jax.random.key(args.seed)
-    frames = []
     count = 0
+
+    import queue
+    import threading
+
+    frame_q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def reader():
+        n = 0
+        batch = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            batch.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            n += 1
+            if len(batch) == args.frame_batch:
+                frame_q.put(batch)
+                batch = []
+            if args.frames and n >= args.frames:
+                break
+        if batch:
+            frame_q.put(batch)
+        frame_q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
 
     def flush(batch_frames):
         nonlocal key
@@ -86,19 +110,15 @@ def main(argv=None):
             u8 = np.clip(f * 255.0, 0, 255).astype(np.uint8)
             writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
 
+    # the reader thread decodes/queues while the device swaps (host/device
+    # pipelining — SURVEY.md hard-part #4)
     while True:
-        ok, frame = cap.read()
-        if not ok:
+        batch = frame_q.get()
+        if batch is None:
             break
-        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-        count += 1
-        if len(frames) == args.frame_batch:
-            flush(frames)
-            frames = []
-            print(f"[video] {count} frames")
-        if args.frames and count >= args.frames:
-            break
-    flush(frames)
+        count += len(batch)
+        flush(batch)
+        print(f"[video] {count} frames")
     cap.release()
     writer.release()
 
