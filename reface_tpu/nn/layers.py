@@ -21,7 +21,13 @@ zeros_init = nn.initializers.zeros
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32) computed in float32 regardless of input dtype."""
+    """GroupNorm(32) computed in float32 regardless of input dtype.
+
+    Parity with the reference's GroupNorm32 (dm/util.py:203-215). Measured
+    note: upcast-GN-downcast is FASTER on TPU than GN(dtype=bf16) (79 vs
+    92 ms UNet fwd) — XLA fuses the fp32 island cleanly — so this stays the
+    fp32 form while the transformer LayerNorms run in the compute dtype.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5

@@ -91,12 +91,12 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         d = self.channels // self.num_heads
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(
             self.channels, heads=self.num_heads, dim_head=d, dtype=self.dtype,
             name="attn1",
         )(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.channels,
             context_dim=self.context_dim,
@@ -105,7 +105,7 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn2",
         )(h, context)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(x)
         return x + FeedForwardGEGLU(self.channels, dtype=self.dtype, name="ff")(h)
 
 
