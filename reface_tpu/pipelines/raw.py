@@ -3,7 +3,15 @@
 Functional parity target: /root/reference/scripts/one_inference.py:521-808 —
 dlib-align target & source to 1024^2, BiSeNet seg12 masks, masked CLIP
 reference build, DDIM swap on the crop, inverse-perspective paste-back onto
-the original frame.
+the original frame. Landmark conditioning is computed on the cropped
+512px target (one_inference.py:621,717-726 -> ddpm.py:1068-1099), NOT on
+the original frame — the conditioning vector is in crop coordinates.
+
+Multi-face: the reference's crop_faces iterates every dlib detection in the
+frame and composites the swaps sequentially (src/utils/alignmengt.py:181-264,
+one_inference.py:782-799). Here detection splits the parsing-mask face
+region into connected components (host-side, like the reference's CPU dlib
+loop), then all faces swap as ONE device batch and composite sequentially.
 
 TPU-native: landmarks come from the batched LandmarkNet, parsing from the
 flax BiSeNet, alignment/paste-back are the on-device warps in
@@ -68,7 +76,7 @@ class RawSwapPipeline:
     # ---- stages ----
 
     def detect_landmarks(self, image01: jnp.ndarray) -> jnp.ndarray:
-        """(B,H,W,3) in [0,1] -> (B,136) pixel coords at input scale."""
+        """(B,H,W,3) in [0,1] -> (B,68,2) pixel coords at input scale."""
         s = self.config.landmark.input_size
         b, h, w, _ = image01.shape
         x = jax.image.resize(image01, (b, s, s, 3), "bilinear") * 2 - 1
@@ -105,27 +113,68 @@ class RawSwapPipeline:
             lut[c] = 1.0
         return jnp.take(jnp.asarray(lut), seg12)[..., None]
 
-    # ---- end-to-end ----
+    def detect_faces(self, frame01: np.ndarray, max_faces: int = 4,
+                     min_area_frac: float = 2e-3):
+        """Host-side multi-face detection on ONE frame.
 
-    def swap_images(
+        Role of dlib's HOG detector loop (alignmengt.py:181-264): parse the
+        full frame, split the face-class mask into connected components,
+        return up to max_faces [x0,y0,x1,y1] boxes, largest first.
+        """
+        import cv2
+
+        frame = np.asarray(frame01)
+        h, w = frame.shape[:2]
+        seg = self.parse(jnp.asarray(frame, jnp.float32)[None])
+        face = np.asarray(self.face_mask(seg)[0, ..., 0] > 0.5, np.uint8)
+        num, _, stats, _ = cv2.connectedComponentsWithStats(face, 8)
+        boxes = []
+        for i in range(1, num):
+            x, y, bw, bh, area = (int(v) for v in stats[i])
+            if area >= min_area_frac * h * w:
+                boxes.append((area, (x, y, x + bw, y + bh)))
+        boxes.sort(key=lambda t: -t[0])
+        return [b for _, b in boxes[:max_faces]]
+
+    def landmarks_in_box(self, frame01: np.ndarray, box) -> np.ndarray:
+        """68 landmarks of the face inside `box`, in FRAME pixel coords.
+
+        The box is padded to a square crop (dlib's predictor also runs on
+        the detector's box); the crop is host-resized to the LandmarkNet
+        input so every face reuses one compiled program.
+        """
+        import cv2
+
+        frame = np.asarray(frame01)
+        h, w = frame.shape[:2]
+        x0, y0, x1, y1 = box
+        cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+        half = max(x1 - x0, y1 - y0) * 0.75
+        sx0, sy0 = int(max(0, cx - half)), int(max(0, cy - half))
+        sx1, sy1 = int(min(w, cx + half)), int(min(h, cy + half))
+        crop = frame[sy0:sy1, sx0:sx1]
+        s = self.config.landmark.input_size
+        crop_s = cv2.resize(crop.astype(np.float32), (s, s),
+                            interpolation=cv2.INTER_LINEAR)
+        lm = np.asarray(self.detect_landmarks(jnp.asarray(crop_s)[None])[0])
+        lm = lm * np.array([(sx1 - sx0) / s, (sy1 - sy0) / s], np.float32)
+        return lm + np.array([sx0, sy0], np.float32)
+
+    # ---- shared swap body ----
+
+    def _swap_aligned(
         self,
-        target01: jnp.ndarray,  # (B,H,W,3) raw frames in [0,1]
-        source01: jnp.ndarray,  # (B,h,w,3) raw source(s) in [0,1]
-        key: Optional[jax.Array] = None,
+        t_crop: jnp.ndarray,   # (B, A, A, 3) aligned target crops, [0,1]
+        ref224: jnp.ndarray,   # (B, 224, 224, 3) CLIP-normalized references
+        key: jax.Array,
     ) -> jnp.ndarray:
-        """Full raw swap; returns composited frames in [0,1]."""
+        """Parse + mask + swap the aligned crops; returns (B, A, A, 3) in
+        [0,1] at align_size. Landmark conditioning is computed on the
+        swap-resolution crop — crop coordinates, matching get_landmarks on
+        the cropped 512px batch (ddpm.py:1068-1099)."""
         cfg = self.config
-        key = key if key is not None else jax.random.key(0)
-
-        t_lm = self.detect_landmarks(target01)
-        s_lm = self.detect_landmarks(source01)
-        t_crop, t_quads = self.align(target01, t_lm)
-        s_crop, _ = self.align(source01, s_lm)
-
         t_seg = self.parse(t_crop)
-        s_seg = self.parse(s_crop)
         t_face = self.face_mask(t_seg)
-        s_face = self.face_mask(s_seg)
 
         size = self.swapper.config.image_size
         b = t_crop.shape[0]
@@ -134,12 +183,10 @@ class RawSwapPipeline:
         target_pm1 = t_small * 2 - 1
         inpaint = target_pm1 * t_mask
 
-        ref01 = s_crop * s_face
-        ref224 = clip_normalize(ref01)
-
-        lm_for_cond = (
-            t_lm * (size / target01.shape[1])
-        ).reshape(b, 136)
+        # re-detect on the crop: conditioning landmarks MUST be in crop
+        # coordinates at swap resolution (one_inference.py:717-726)
+        lm_crop = self.detect_landmarks(t_small)
+        lm_for_cond = lm_crop.reshape(b, 136)
 
         out = self.swapper.swap(
             target_image=target_pm1,
@@ -150,10 +197,67 @@ class RawSwapPipeline:
             key=key,
         )
         out01 = (out + 1.0) / 2.0
-        out_big = jax.image.resize(
+        return jax.image.resize(
             out01, (b, cfg.align_size, cfg.align_size, 3), "bilinear"
         )
-        composited = jax.vmap(
+
+    def _source_reference(self, source01: jnp.ndarray) -> jnp.ndarray:
+        """Align+parse the source(s), return CLIP-normalized masked refs."""
+        s_lm = self.detect_landmarks(source01)
+        s_crop, _ = self.align(source01, s_lm)
+        s_face = self.face_mask(self.parse(s_crop))
+        return clip_normalize(s_crop * s_face)
+
+    # ---- end-to-end ----
+
+    def swap_images(
+        self,
+        target01: jnp.ndarray,  # (B,H,W,3) raw frames in [0,1]
+        source01: jnp.ndarray,  # (B,h,w,3) raw source(s) in [0,1]
+        key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Full raw swap (one face per frame); returns composited frames."""
+        key = key if key is not None else jax.random.key(0)
+
+        t_lm = self.detect_landmarks(target01)
+        t_crop, t_quads = self.align(target01, t_lm)
+        ref224 = self._source_reference(source01)
+        out_big = self._swap_aligned(t_crop, ref224, key)
+        return jax.vmap(
             lambda orig, crop, quad: paste_back(orig, crop, quad)
         )(target01, out_big, t_quads)
-        return composited
+
+    def swap_frame_multiface(
+        self,
+        frame01: np.ndarray,    # (H,W,3) one raw frame in [0,1]
+        source01: jnp.ndarray,  # (1,h,w,3) raw source in [0,1]
+        key: Optional[jax.Array] = None,
+        max_faces: int = 4,
+    ) -> jnp.ndarray:
+        """Swap EVERY detected face in the frame with the same source.
+
+        Parity: crop_faces iterates all detections and the results are
+        composited sequentially (alignmengt.py:181-264,
+        one_inference.py:782-799). All faces run as one device batch.
+        """
+        key = key if key is not None else jax.random.key(0)
+        frame = np.asarray(frame01, np.float32)
+        boxes = self.detect_faces(frame, max_faces=max_faces)
+        if not boxes:
+            return jnp.asarray(frame)
+
+        lm68 = jnp.asarray(
+            np.stack([self.landmarks_in_box(frame, b) for b in boxes])
+        )  # (F, 68, 2) frame coords
+        f = len(boxes)
+        frames = jnp.broadcast_to(jnp.asarray(frame), (f,) + frame.shape)
+        t_crop, t_quads = self.align(frames, lm68)
+
+        ref224 = self._source_reference(jnp.asarray(source01))
+        ref224 = jnp.broadcast_to(ref224[:1], (f,) + ref224.shape[1:])
+
+        out_big = self._swap_aligned(t_crop, ref224, key)
+        out = jnp.asarray(frame)
+        for i in range(f):
+            out = paste_back(out, out_big[i], t_quads[i])
+        return out

@@ -43,3 +43,52 @@ def test_raw_pipeline_stages_and_end_to_end():
     assert out.shape == tgt.shape
     assert bool(jnp.isfinite(out).all())
     assert float(out.min()) >= -1e-3 and float(out.max()) <= 1.001
+
+
+def test_conditioning_landmarks_are_in_crop_coords():
+    """The landmarks fed to the swapper must be re-detected on the aligned
+    crop at swap resolution (one_inference.py:717-726 -> ddpm.py:1068-1099),
+    NOT the original-frame landmarks rescaled."""
+    swap_cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    sw = FaceSwapper(swap_cfg, FaceSwapper.init_params(swap_cfg, jax.random.key(0)))
+    pipe = RawSwapPipeline(sw, _tiny_raw_cfg())
+
+    captured = {}
+    orig_swap = sw.swap
+
+    def recording_swap(**kw):
+        captured["landmarks"] = np.asarray(kw["landmarks"])
+        return orig_swap(**kw)
+
+    sw.swap = recording_swap
+    tgt = jax.random.uniform(jax.random.key(1), (2, 96, 96, 3))
+    src = jax.random.uniform(jax.random.key(2), (2, 80, 80, 3))
+    pipe.swap_images(tgt, src, key=jax.random.key(3))
+
+    size = swap_cfg.image_size
+    t_lm = pipe.detect_landmarks(tgt)
+    t_crop, _ = pipe.align(tgt, t_lm)
+    t_small = jax.image.resize(t_crop, (2, size, size, 3), "bilinear")
+    expected = np.asarray(pipe.detect_landmarks(t_small)).reshape(2, 136)
+    np.testing.assert_allclose(captured["landmarks"], expected, atol=1e-4)
+    # and NOT the frame landmarks rescaled (the round-1 bug)
+    wrong = np.asarray(t_lm * (size / 96)).reshape(2, 136)
+    assert np.abs(captured["landmarks"] - wrong).max() > 1e-3
+
+
+def test_multiface_frame_swap():
+    swap_cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    sw = FaceSwapper(swap_cfg, FaceSwapper.init_params(swap_cfg, jax.random.key(0)))
+    pipe = RawSwapPipeline(sw, _tiny_raw_cfg())
+
+    frame = np.asarray(jax.random.uniform(jax.random.key(5), (96, 128, 3)))
+    src = jax.random.uniform(jax.random.key(6), (1, 80, 80, 3))
+
+    boxes = pipe.detect_faces(frame, max_faces=3)
+    assert isinstance(boxes, list)
+    for x0, y0, x1, y1 in boxes:
+        assert 0 <= x0 < x1 <= 128 and 0 <= y0 < y1 <= 96
+
+    out = pipe.swap_frame_multiface(frame, src, key=jax.random.key(7))
+    assert out.shape == frame.shape
+    assert bool(jnp.isfinite(out).all())
