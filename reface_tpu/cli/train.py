@@ -51,7 +51,19 @@ def main(argv=None):
                     help="generate swap samples every N steps (0 = off)")
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="0 = EMA off (shipped config)")
+    ap.add_argument("--landmark-ckpt", default=None,
+                    help="LandmarkNet params: batched landmark conditioning "
+                         "of the GT batch (ddpm.py:1206 get_landmarks parity)")
+    ap.add_argument("--landmark-rert", default=None,
+                    help="native ERT model (.rert): exact dlib-parity host "
+                         "landmarks for the GT batch")
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--config", nargs="*", default=[],
+                    help="layered YAML config(s) with swap:/train: nodes "
+                         "(main.py:504-506 parity)")
+    ap.add_argument("--overrides", nargs="*", default=[],
+                    help="dotlist overrides, e.g. train.learning_rate=2e-5 "
+                         "swap.ddim_steps=30")
     args = ap.parse_args(argv)
     from reface_tpu.cli.common import apply_backend
 
@@ -90,6 +102,17 @@ def main(argv=None):
         ema_decay=args.ema_decay or None,
     )
     recon = ReconLossConfig() if args.full_losses else None
+    if args.config or args.overrides:
+        from reface_tpu.cli.common import apply_config_node
+        from reface_tpu.core.config import load_config
+
+        node = load_config(args.config, args.overrides)
+        if "swap" in node:
+            swap_cfg = apply_config_node(swap_cfg, node["swap"])
+        if "train" in node:
+            train_cfg = apply_config_node(train_cfg, node["train"])
+        if "recon" in node:
+            recon = apply_config_node(recon or ReconLossConfig(), node["recon"])
 
     params = FaceSwapper.init_params(swap_cfg, jax.random.key(args.seed))
     if args.full_losses:
@@ -121,16 +144,36 @@ def main(argv=None):
             data_seed=args.seed,
         ))
 
-    def to_batch(raw):
-        return shard_batch(
-            dict(
-                target_image=raw["GT"],
-                inpaint_image=raw["inpaint_image"],
-                inpaint_mask=raw["inpaint_mask"],
-                ref_clip224=raw["ref_imgs"],
-            ),
-            mesh,
+    # landmark conditioning of the GT batch (0.05-weight stream; the
+    # reference computes dlib landmarks inside get_input, ddpm.py:1206)
+    landmark_fn = None
+    if args.landmark_ckpt:
+        from reface_tpu.ckpt.io import load_params as _load_lm
+        from reface_tpu.nn.landmarks import (
+            LandmarkNet,
+            LandmarkNetConfig,
+            landmark_fn_from_net,
         )
+
+        landmark_fn = landmark_fn_from_net(
+            LandmarkNet(LandmarkNetConfig()), _load_lm(args.landmark_ckpt),
+            args.image_size,
+        )
+    elif args.landmark_rert:
+        from reface_tpu.nn.landmarks import landmark_fn_from_rert
+
+        landmark_fn = landmark_fn_from_rert(args.landmark_rert, args.image_size)
+
+    def to_batch(raw):
+        d = dict(
+            target_image=raw["GT"],
+            inpaint_image=raw["inpaint_image"],
+            inpaint_mask=raw["inpaint_mask"],
+            ref_clip224=raw["ref_imgs"],
+        )
+        if landmark_fn is not None:
+            d["landmarks"] = np.asarray(landmark_fn(raw["GT"]))
+        return shard_batch(d, mesh)
 
     loader = PrefetchLoader(ds, batch_size=world_batch, shuffle=True,
                             seed=args.seed, device_put=to_batch)

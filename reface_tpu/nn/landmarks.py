@@ -26,7 +26,14 @@ from flax import linen as nn
 
 from reface_tpu.nn.layers import GroupNorm32
 
-__all__ = ["LandmarkNetConfig", "LandmarkNet", "LandmarkAuxHead", "soft_argmax_2d"]
+__all__ = [
+    "LandmarkNetConfig",
+    "LandmarkNet",
+    "LandmarkAuxHead",
+    "soft_argmax_2d",
+    "landmark_fn_from_net",
+    "landmark_fn_from_rert",
+]
 
 
 def soft_argmax_2d(heatmaps: jnp.ndarray) -> jnp.ndarray:
@@ -95,6 +102,53 @@ class LandmarkNet(nn.Module):
         scale = s / heat.shape[1]
         pts = pts * scale
         return pts.reshape(x.shape[0], cfg.num_points * 2)
+
+
+def landmark_fn_from_net(net: "LandmarkNet", params, image_size: int):
+    """Batched landmark-conditioning fn: (B,S,S,3) images in [-1,1] ->
+    (B,136) pixel coords at `image_size` scale.
+
+    This is the train/inference-time get_landmarks role (ddpm.py:1206 ->
+    1068-1099): the reference loops dlib over the GT batch on the CPU every
+    step; here it is one jitted device call.
+    """
+    s = net.config.input_size
+
+    @jax.jit
+    def fn(images_pm1):
+        x = jax.image.resize(
+            images_pm1, (images_pm1.shape[0], s, s, 3), "bilinear"
+        )
+        return net.apply(params, x) * (image_size / s)
+
+    return fn
+
+
+def landmark_fn_from_rert(path: str, image_size: int):
+    """Host-side exact-ERT landmark fn over a batch of [-1,1] images.
+
+    Uses the native C++ ERT cascade (dlib shape-predictor parity; see
+    native/ and tools/convert_dlib_sp.py) with full-image boxes — the
+    get_landmarks fallback box when detection fails (ddpm.py:1075-1082).
+    """
+    import numpy as np
+
+    from reface_tpu import native_ops
+
+    native_ops.ert_load(path)
+
+    def fn(images_pm1):
+        g = np.asarray(images_pm1, np.float32)
+        gray = (g[..., 0] * 0.299 + g[..., 1] * 0.587 + g[..., 2] * 0.114)
+        gray = np.clip((gray + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        b, h, w = gray.shape
+        boxes = np.tile(
+            np.array([0, 0, w - 1, h - 1], np.float32), (b, 1)
+        )
+        lm = native_ops.ert_predict_batch(gray, boxes).reshape(b, 136)
+        return lm * (image_size / w)
+
+    return fn
 
 
 class LandmarkAuxHead(nn.Module):

@@ -125,6 +125,37 @@ def test_train_step_eps_only_updates_trainables():
     assert np.abs(old_unet - new_unet).max() > 0
 
 
+def test_landmark_conditioning_in_train_batch():
+    """cli/train.py wires get_landmarks parity (ddpm.py:1206): the GT batch
+    gets a (B,136) landmark column at image-size scale via LandmarkNet."""
+    from reface_tpu.nn.landmarks import (
+        LandmarkNet,
+        LandmarkNetConfig,
+        landmark_fn_from_net,
+    )
+
+    net = LandmarkNet(LandmarkNetConfig(widths=(8, 16, 32, 32), input_size=64,
+                                        dtype=jnp.float32))
+    lm_params = net.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    image_size = 64
+    fn = landmark_fn_from_net(net, lm_params, image_size)
+
+    batch = _batch(2, image_size)
+    lm = np.asarray(fn(batch["target_image"]))
+    assert lm.shape == (2, 136)
+    assert lm.min() >= 0 and lm.max() <= image_size
+
+    # the train step consumes the landmark column (conditioning fusion)
+    cfg = tiny_swap_config(image_size=image_size, ddim_steps=2)
+    tcfg = TrainConfig(warmup_steps=5)
+    params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    step, _, init_state = make_train_step(cfg, tcfg)
+    state = init_state(params)
+    batch["landmarks"] = jnp.asarray(lm)
+    _, metrics = jax.jit(step)(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_train_step_full_losses():
     from reface_tpu.nn.lpips import LPIPS
 
