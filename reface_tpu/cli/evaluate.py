@@ -2,9 +2,16 @@
 results directory vs the dataset, like evaluate_all.sh.
 
 Functional parity target: /root/reference/evaluate_all.sh — four independent
-metric CLIs per dataset; here one driver with --metrics selection. Frozen
-eval-model weights load via --*-ckpt (torch state dicts converted on the
-fly) or run random-init for pipeline smoke tests (--allow-random).
+metric CLIs per dataset; here one driver with --metrics selection, using the
+reference's exact preprocessing (reface_tpu/eval/protocol.py):
+  - FID compares the results dir against the DATASET image dir
+    (evaluate_all.sh:50-53), CLIP bicubic-resize-224 + center crop.
+  - ID retrieval embeds dataset-rule MASKED 112px crops of sources and
+    swaps (ID_retrieval.py:171-250) through the IDLoss pool/crop protocol.
+  - Pose/expression use the reference's tensor-Resize / bicubic-512 loads.
+
+Frozen eval-model weights load via --*-ckpt (torch state dicts converted on
+the fly) or run random-init for pipeline smoke tests (--allow-random).
 
 Usage:
   python -m reface_tpu.cli.evaluate --results-dir out/results \
@@ -19,20 +26,6 @@ import glob
 import json
 import os
 import re
-
-import numpy as np
-
-
-def _load_images01(paths, size):
-    import cv2
-
-    out = np.zeros((len(paths), size, size, 3), np.float32)
-    for i, p in enumerate(paths):
-        img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-        if img.shape[0] != size:
-            img = cv2.resize(img, (size, size))
-        out[i] = img.astype(np.float32) / 255.0
-    return out
 
 
 def main(argv=None):
@@ -51,16 +44,27 @@ def main(argv=None):
     ap.add_argument("--facerecon-ckpt", default=None)
     ap.add_argument("--out", default=None, help="write metrics JSON here")
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--fid-limit", type=int, default=0,
+                    help="cap the FID dataset reference set (0 = all)")
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args(argv)
     from reface_tpu.cli.common import apply_backend
 
     apply_backend(args)
 
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
     from reface_tpu.data.test_bench import TestBenchConfig
+    from reface_tpu.eval.protocol import (
+        clip_fid_load,
+        expression_load,
+        hopenet_load,
+        id_embed_protocol,
+        id_masked_112_load,
+    )
 
     bench = TestBenchConfig(dataset_dir=args.dataset_dir, dataset=args.dataset)
 
@@ -76,91 +80,82 @@ def main(argv=None):
         if m:
             pairs.append((p, int(m.group(1)), int(m.group(2))))
     print(f"[evaluate] {len(pairs)} swap images")
-
-    swap_imgs = _load_images01([p for p, _, _ in pairs], 224)
-    tgt_imgs = _load_images01(
-        [bench.img_path(t) for _, _, t in pairs], 224
-    )
+    swap_paths = [p for p, _, _ in pairs]
+    tgt_paths = [bench.img_path(t) for _, _, t in pairs]
     results = {}
+
+    def _eval_params(model, init_shape, ckpt, convert_name):
+        """Converted torch ckpt or random-init (smoke) params."""
+        if ckpt:
+            from reface_tpu.ckpt import convert as C
+
+            shapes = jax.eval_shape(
+                model.init, jax.random.key(0), jnp.zeros(init_shape)
+            )
+            return getattr(C, convert_name)(
+                jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
+                C.load_torch_state_dict(ckpt),
+            )
+        if args.allow_random:
+            return model.init(jax.random.key(0), jnp.zeros(init_shape))
+        raise SystemExit(f"--ckpt required for this metric (or --allow-random)")
 
     if "fid" in args.metrics:
         from reface_tpu.eval import CLIP_B32, clip_features, clip_fid
         from reface_tpu.nn.clip import CLIPVisionTower
 
         tower = CLIPVisionTower(CLIP_B32)
-        if args.clip_ckpt:
-            from reface_tpu.ckpt.convert import convert_clip_vision, load_torch_state_dict
-
-            shapes = jax.eval_shape(
-                tower.init, jax.random.key(0), jnp.zeros((1, 224, 224, 3))
-            )
-            p = convert_clip_vision(
-                jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
-                load_torch_state_dict(args.clip_ckpt),
-            )
-        elif args.allow_random:
-            p = tower.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
-        else:
-            raise SystemExit("--clip-ckpt required (or --allow-random)")
-        fa = clip_features(p, jnp.asarray(swap_imgs))
-        fb = clip_features(p, jnp.asarray(tgt_imgs))
+        p = _eval_params(tower, (1, 224, 224, 3), args.clip_ckpt,
+                         "convert_clip_vision")
+        # reference set = the dataset image dir itself (evaluate_all.sh:50-53)
+        img_dir = os.path.dirname(bench.img_path(0))
+        ds_paths = sorted(
+            q for ext in ("*.jpg", "*.png")
+            for q in glob.glob(os.path.join(img_dir, ext))
+        )
+        if args.fid_limit:
+            ds_paths = ds_paths[: args.fid_limit]
+        if not ds_paths:
+            raise SystemExit(f"no dataset images found in {img_dir}")
+        fa = clip_features(p, jnp.asarray(clip_fid_load(swap_paths)))
+        fb = clip_features(p, jnp.asarray(clip_fid_load(ds_paths)))
         results["clip_fid"] = clip_fid(fa, fb)
 
     if "id" in args.metrics:
-        from reface_tpu.eval import embed_identities, id_retrieval_metrics
+        from reface_tpu.eval import id_retrieval_metrics
         from reface_tpu.nn.arcface import ArcFaceConfig, IRSE50
-        import cv2
 
         model = IRSE50(ArcFaceConfig())
-        if args.arcface_ckpt:
-            from reface_tpu.ckpt import convert_arcface, load_torch_state_dict
-
-            shapes = jax.eval_shape(
-                model.init, jax.random.key(0), jnp.zeros((1, 112, 112, 3))
-            )
-            p = convert_arcface(
-                jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
-                load_torch_state_dict(args.arcface_ckpt),
-            )
-        elif args.allow_random:
-            p = model.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
-        else:
-            raise SystemExit("--arcface-ckpt required (or --allow-random)")
-
-        def crops112(imgs01):
-            x = imgs01 * 2 - 1
-            x = jax.image.resize(jnp.asarray(x), (x.shape[0], 256, 256, 3),
-                                 "bilinear")
-            x = x[:, 35:223, 32:220, :]
-            return jax.image.resize(x, (x.shape[0], 112, 112, 3), "bilinear")
-
-        src_imgs = _load_images01(
-            [bench.img_path(s) for _, s, _ in pairs], 224
+        p = _eval_params(model, (1, 112, 112, 3), args.arcface_ckpt,
+                         "convert_arcface")
+        # sources: unique ids, masked by their own parsing mask; swaps:
+        # masked by the TARGET's mask (ID_retrieval.py:171-250 +
+        # evaluate_all.sh source/target mask args)
+        src_ids = sorted({s for _, s, _ in pairs})
+        src_index = {s: i for i, s in enumerate(src_ids)}
+        src112 = id_masked_112_load(
+            [bench.img_path(s) for s in src_ids],
+            [bench.mask_path(s) for s in src_ids],
+            args.dataset,
         )
-        f_swap = embed_identities(p, crops112(swap_imgs))
-        f_src = embed_identities(p, crops112(src_imgs))
-        results.update(id_retrieval_metrics(f_swap, f_src))
+        swap112 = id_masked_112_load(
+            swap_paths,
+            [bench.mask_path(t) for _, _, t in pairs],
+            args.dataset,
+        )
+        f_src = id_embed_protocol(p, src112)
+        f_swap = id_embed_protocol(p, swap112)
+        true_idx = np.array([src_index[s] for _, s, _ in pairs])
+        results.update(id_retrieval_metrics(f_swap, f_src, true_idx))
 
     if "pose" in args.metrics:
         from reface_tpu.eval import Hopenet, pose_angles, pose_l2
 
         model = Hopenet()
-        if args.hopenet_ckpt:
-            from reface_tpu.ckpt.convert import convert_hopenet, load_torch_state_dict
-
-            shapes = jax.eval_shape(
-                model.init, jax.random.key(0), jnp.zeros((1, 224, 224, 3))
-            )
-            p = convert_hopenet(
-                jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
-                load_torch_state_dict(args.hopenet_ckpt),
-            )
-        elif args.allow_random:
-            p = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
-        else:
-            raise SystemExit("--hopenet-ckpt required (or --allow-random)")
-        a_t = pose_angles(p, jnp.asarray(tgt_imgs))
-        a_s = pose_angles(p, jnp.asarray(swap_imgs))
+        p = _eval_params(model, (1, 224, 224, 3), args.hopenet_ckpt,
+                         "convert_hopenet")
+        a_t = pose_angles(p, jnp.asarray(hopenet_load(tgt_paths)))
+        a_s = pose_angles(p, jnp.asarray(hopenet_load(swap_paths)))
         results["pose_l2_deg"] = pose_l2(a_t, a_s)
 
     if "expression" in args.metrics:
@@ -168,22 +163,10 @@ def main(argv=None):
         from reface_tpu.eval.backbones import FaceReconCoeffNet
 
         model = FaceReconCoeffNet()
-        if args.facerecon_ckpt:
-            from reface_tpu.ckpt.convert import convert_facerecon, load_torch_state_dict
-
-            shapes = jax.eval_shape(
-                model.init, jax.random.key(0), jnp.zeros((1, 224, 224, 3))
-            )
-            p = convert_facerecon(
-                jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
-                load_torch_state_dict(args.facerecon_ckpt),
-            )
-        elif args.allow_random:
-            p = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
-        else:
-            raise SystemExit("--facerecon-ckpt required (or --allow-random)")
-        e_t = expression_coeffs(p, jnp.asarray(tgt_imgs))
-        e_s = expression_coeffs(p, jnp.asarray(swap_imgs))
+        p = _eval_params(model, (1, 224, 224, 3), args.facerecon_ckpt,
+                         "convert_facerecon")
+        e_t = expression_coeffs(p, jnp.asarray(expression_load(tgt_paths)))
+        e_s = expression_coeffs(p, jnp.asarray(expression_load(swap_paths)))
         results["expression_l2"] = expression_l2(e_t, e_s)
 
     print(json.dumps(results, indent=2))
