@@ -2,6 +2,7 @@ from reface_tpu.ckpt.convert import (
     convert_arcface,
     convert_clip_conditioner,
     convert_reface_checkpoint,
+    convert_safety_checker,
     convert_unet,
     convert_vae,
     load_torch_state_dict,
@@ -17,6 +18,7 @@ __all__ = [
     "convert_arcface",
     "convert_clip_conditioner",
     "convert_reface_checkpoint",
+    "convert_safety_checker",
     "convert_unet",
     "convert_vae",
     "load_torch_state_dict",

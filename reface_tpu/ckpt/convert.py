@@ -523,6 +523,34 @@ def convert_clip_vision(flax_shapes: Any, torch_sd: StateDict,
     return {"params": out["params"]["tower"]}
 
 
+def convert_safety_checker(flax_tower_shapes: Any, torch_sd: StateDict) -> dict:
+    """StableDiffusionSafetyChecker state dict -> reface_tpu SafetyChecker
+    params.
+
+    Torch layout (diffusers; loaded at import by the reference's batch
+    driver, scripts/inference_test_bench.py:48-51):
+      vision_model.vision_model.*      CLIPVisionTransformer (ViT-L/14)
+      visual_projection.weight         hidden -> 768 projection
+      concept_embeds (17,768) / concept_embeds_weights (17,)
+      special_care_embeds (3,768) / special_care_embeds_weights (3,)
+    """
+    sd = {}
+    for k, v in torch_sd.items():
+        if k.startswith("vision_model.vision_model."):
+            sd["model.vision_model." + k[len("vision_model.vision_model."):]] = v
+        elif k == "visual_projection.weight":
+            sd["model.visual_projection.weight"] = v
+    tower = convert_clip_vision(flax_tower_shapes, sd)
+    f32 = lambda t: np.asarray(t, np.float32)
+    return {
+        "tower": tower,
+        "concept_embeds": f32(torch_sd["concept_embeds"]),
+        "concept_thresholds": f32(torch_sd["concept_embeds_weights"]),
+        "special_embeds": f32(torch_sd["special_care_embeds"]),
+        "special_thresholds": f32(torch_sd["special_care_embeds_weights"]),
+    }
+
+
 # ---------------------------------------------------------- ResNet-50 evals
 
 def _resnet50_rule(prefix: str = ""):

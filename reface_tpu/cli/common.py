@@ -39,21 +39,65 @@ def add_model_args(ap):
                     help="dotlist config overrides a.b=v")
 
 
+def apply_config_node(dc, node: dict):
+    """Overlay a YAML/dotlist mapping onto a (frozen) dataclass instance."""
+    import dataclasses
+
+    from reface_tpu.core.config import build
+
+    node = dict(node)
+    for k in list(node):
+        if isinstance(node[k], dict) and dataclasses.is_dataclass(
+            getattr(dc, k, None)
+        ):
+            node[k] = build(type(getattr(dc, k)), node[k])
+        elif isinstance(node[k], list):
+            node[k] = tuple(node[k])
+    return dataclasses.replace(dc, **node)
+
+
+def resolve_swap_config(args):
+    """SwapConfig from layered YAML + dotlist overrides + CLI flags.
+
+    Precedence (main.py:504-506 parity): base YAMLs left-to-right, then
+    --overrides dotlist, then explicitly-set CLI flags (--ddim-steps etc.).
+    YAML schema = SwapConfig field names, optionally under a `swap:` node.
+    """
+    import dataclasses
+
+    from reface_tpu.pipelines.swap import SwapConfig, tiny_swap_config
+
+    base = (
+        tiny_swap_config(image_size=64, ddim_steps=min(args.ddim_steps, 4))
+        if args.tiny
+        else SwapConfig()
+    )
+    if getattr(args, "config", None) or getattr(args, "overrides", None):
+        from reface_tpu.core.config import load_config
+
+        node = load_config(args.config or [], args.overrides or [])
+        base = apply_config_node(base, node.get("swap", node))
+    if not args.tiny:
+        cli = {}
+        if args.ddim_steps != 50:
+            cli["ddim_steps"] = args.ddim_steps
+        if args.scale != 3.0:
+            cli["cfg_scale"] = args.scale
+        if args.sampler != "ddim":
+            cli["sampler"] = args.sampler
+        if cli:
+            base = dataclasses.replace(base, **cli)
+    return base
+
+
 def build_swapper(args):
     """Resolve config + params into a ready FaceSwapper."""
     import jax
     import jax.numpy as jnp
 
-    from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
+    from reface_tpu.pipelines.swap import FaceSwapper
 
-    if args.tiny:
-        cfg = tiny_swap_config(image_size=64, ddim_steps=min(args.ddim_steps, 4))
-    else:
-        cfg = SwapConfig(
-            ddim_steps=args.ddim_steps,
-            cfg_scale=args.scale,
-            sampler=args.sampler,
-        )
+    cfg = resolve_swap_config(args)
 
     if args.ckpt is None:
         params = FaceSwapper.init_params(cfg, jax.random.key(args.seed))
@@ -93,6 +137,43 @@ def build_swapper(args):
             params,
         )
     return FaceSwapper(cfg, params)
+
+
+def build_safety_checker(ckpt_path: str | None):
+    """SafetyChecker from a converted diffusers state dict, or None.
+
+    Reference loads it at import in the batch driver
+    (inference_test_bench.py:48-51); here it is opt-in via --safety-ckpt."""
+    if not ckpt_path:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from reface_tpu.ckpt.convert import (
+        convert_safety_checker,
+        load_torch_state_dict,
+    )
+    from reface_tpu.nn.safety import SafetyChecker, SafetyCheckerConfig
+
+    scfg = SafetyCheckerConfig()
+    shapes = jax.eval_shape(
+        SafetyChecker(scfg).tower.init, jax.random.key(0),
+        jnp.zeros((1, 224, 224, 3)),
+    )
+    params = convert_safety_checker(
+        jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
+        load_torch_state_dict(ckpt_path),
+    )
+    return SafetyChecker(scfg, params)
+
+
+def default_inpaint_mask(size: int) -> np.ndarray:
+    """Keep-mask (1=keep) with a central face-shaped ellipse to inpaint —
+    the --precropped fallback when no parser/mask is available (aligned
+    crops put the face around (0.5, 0.55) of the frame)."""
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    ellipse = ((xs - 0.5) / 0.30) ** 2 + ((ys - 0.55) / 0.40) ** 2 <= 1.0
+    return 1.0 - ellipse.astype(np.float32)[..., None]
 
 
 def save_image_pm1(path: str, img: np.ndarray) -> None:

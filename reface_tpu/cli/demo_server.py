@@ -24,6 +24,7 @@ _PAGE = """<!doctype html>
 <form method="post" action="/process_images" enctype="multipart/form-data">
   <p>Source face: <input type="file" name="source"></p>
   <p>Target image: <input type="file" name="target"></p>
+  <p>Inpaint mask (optional, white=keep): <input type="file" name="mask"></p>
   <p><button type="submit">Swap</button></p>
 </form>
 </body></html>"""
@@ -49,6 +50,9 @@ def main(argv=None):
     add_model_args(ap)
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--precropped", action="store_true")
+    ap.add_argument("--safety-ckpt", default=None,
+                    help="StableDiffusionSafetyChecker state dict: flag/blur "
+                         "NSFW outputs before returning them")
     args = ap.parse_args(argv)
     apply_backend(args)
 
@@ -57,15 +61,18 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from reface_tpu.cli.common import build_safety_checker, default_inpaint_mask
     from reface_tpu.pipelines.raw import RawSwapPipeline
     from reface_tpu.pipelines.swap import clip_normalize
 
     swapper = build_swapper(args)
     pipe = None if args.precropped else RawSwapPipeline(swapper)
+    safety = build_safety_checker(args.safety_ckpt)
     lock = threading.Lock()
     state = {"key": jax.random.key(args.seed)}
 
-    def run_swap(source_png: bytes, target_png: bytes) -> bytes:
+    def run_swap(source_png: bytes, target_png: bytes,
+                 mask_png: bytes | None = None) -> bytes:
         def dec(b):
             arr = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
             return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
@@ -79,15 +86,31 @@ def main(argv=None):
                                      jnp.asarray(src)[None], key=sub)[0]
                 )
             else:
+                # pre-cropped legacy mode (inference.py semantics): the user
+                # supplies aligned crops and optionally an explicit keep-mask;
+                # without one, inpaint a central face-shaped ellipse.
                 size = swapper.config.image_size
                 tgt_r = cv2.resize(tgt, (size, size))
                 src_r = cv2.resize(src, (size, size))
+                if mask_png:
+                    m = cv2.imdecode(np.frombuffer(mask_png, np.uint8),
+                                     cv2.IMREAD_GRAYSCALE)
+                    m = cv2.resize(m, (size, size),
+                                   interpolation=cv2.INTER_LINEAR)
+                    keep = (m.astype(np.float32) / 255.0)[..., None]
+                else:
+                    keep = default_inpaint_mask(size)
                 t = jnp.asarray(tgt_r)[None] * 2 - 1
-                mask = jnp.ones((1, size, size, 1))
+                mask = jnp.asarray(keep)[None]
                 ref = clip_normalize(jnp.asarray(src_r)[None])
-                out = swapper.swap(target_image=t, inpaint_image=t,
+                out = swapper.swap(target_image=t, inpaint_image=t * mask,
                                    inpaint_mask=mask, ref_clip224=ref, key=sub)
                 out01 = (np.asarray(out[0]) + 1) / 2
+            if safety is not None:
+                filtered, flags = safety(jnp.asarray(out01)[None])
+                out01 = np.asarray(filtered[0])
+                if bool(np.asarray(flags)[0]):
+                    print("[demo] safety checker flagged the output")
         u8 = np.clip(out01 * 255, 0, 255).astype(np.uint8)
         ok, buf = cv2.imencode(".png", cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
         return buf.tobytes()
@@ -111,7 +134,8 @@ def main(argv=None):
             try:
                 boundary = ctype.split("boundary=")[1].encode()
                 fields = _decode_multipart(body, boundary)
-                png = run_swap(fields["source"], fields["target"])
+                png = run_swap(fields["source"], fields["target"],
+                               fields.get("mask") or None)
             except Exception as e:  # surface errors to the client
                 self.send_response(500)
                 self.send_header("Content-Type", "application/json")

@@ -38,6 +38,17 @@ def main(argv=None):
                     help="universal head swap: extend masks with hair/hat")
     ap.add_argument("--landmark-ckpt", default=None,
                     help="LandmarkNet params; enables landmark conditioning")
+    ap.add_argument("--prior-dir", default=None,
+                    help="dir of {target_id}.png priors: q-sample the DDIM "
+                         "start from the prior latent (load_prior parity, "
+                         "inference_test_bench.py:414-436)")
+    ap.add_argument("--start-from-target", action="store_true",
+                    help="q-sample the DDIM start from the TARGET latent "
+                         "(--Start_from_target with use_prior and no prior "
+                         "dir: prior == GT, test_bench_dataset.py:363)")
+    ap.add_argument("--safety-ckpt", default=None,
+                    help="StableDiffusionSafetyChecker state dict: flag/blur "
+                         "NSFW outputs (inference_test_bench.py:48-51)")
     args = ap.parse_args(argv)
     apply_backend(args)
 
@@ -67,9 +78,14 @@ def main(argv=None):
             )
             lm = lm_net.apply(lm_params, x)
             return lm * (size / lm_s)
+    from reface_tpu.cli.common import build_safety_checker
+
+    safety = build_safety_checker(args.safety_ckpt)
+
     bench_kw = dict(
         dataset_dir=args.dataset_dir, dataset=args.dataset,
         image_size=size, num_pairs=args.num_pairs,
+        prior_dir=args.prior_dir,
     )
     if args.head_swap:
         from reface_tpu.preprocess.masks import HEAD_SWAP_CELEBA
@@ -95,6 +111,11 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         tgt = jnp.asarray(batch["target_image"])
         lm = landmark_fn(tgt) if landmark_fn is not None else None
+        prior = None
+        if args.prior_dir:
+            prior = jnp.asarray(batch["prior_image"])
+        elif args.start_from_target:
+            prior = tgt  # prior == GT when no prior dir is loaded
         out = swapper.swap(
             target_image=tgt,
             inpaint_image=jnp.asarray(batch["inpaint_image"]),
@@ -102,7 +123,14 @@ def main(argv=None):
             ref_clip224=jnp.asarray(batch["ref_clip224"]),
             landmarks=lm,
             key=sub,
+            prior_image=prior,
         )
+        if safety is not None:
+            out01, flags = safety((out + 1.0) / 2.0)
+            out = out01 * 2.0 - 1.0
+            nflag = int(np.asarray(flags).sum())
+            if nflag:
+                print(f"[test_bench] safety checker flagged {nflag} images")
         out = np.asarray(out)[:b]
         for i in range(b):
             tid = int(batch["target_id"][i])

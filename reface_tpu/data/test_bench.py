@@ -36,6 +36,10 @@ class TestBenchConfig:
     num_pairs: int = 1000
     remove_tar: tuple = DEFAULT_PRESERVE_CELEBA
     preserve_src: tuple = DEFAULT_PRESERVE_CELEBA_SRC_TEST
+    # optional prior images to q-sample the sampler start from
+    # (load_prior path, test_bench_dataset.py:357-363): a dir of
+    # {target_id}.png/.jpg images; None = off
+    prior_dir: str | None = None
 
     def pair_ids(self):
         if self.dataset == "celeba":
@@ -107,7 +111,7 @@ class TestBenchDataset:
             cv2.resize(ref01, (224, 224), interpolation=cv2.INTER_LINEAR)
         )
 
-        return {
+        item = {
             "target_image": gt.astype(np.float32),
             "inpaint_image": inpaint.astype(np.float32),
             "inpaint_mask": keep[..., None].astype(np.float32),
@@ -115,3 +119,21 @@ class TestBenchDataset:
             "target_id": np.int32(tid),
             "source_id": np.int32(sid),
         }
+        if cfg.prior_dir is not None:
+            item["prior_image"] = self._load_prior(tid, s)
+        return item
+
+    def _load_prior(self, tid: int, s: int) -> np.ndarray:
+        """Prior image in [-1,1] at image_size (test_bench_dataset.py:357-360:
+        PIL RGB resize to 512 + get_tensor)."""
+        import cv2
+
+        for name in (f"{tid}.png", f"{tid}.jpg", f"{tid:05d}.png",
+                     f"{str(tid).zfill(12)}.jpg"):
+            p = osp.join(self.cfg.prior_dir, name)
+            if osp.exists(p):
+                img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+                return to_tensor_pm1(cv2.resize(img, (s, s))).astype(np.float32)
+        raise FileNotFoundError(
+            f"no prior image for target {tid} in {self.cfg.prior_dir}"
+        )

@@ -29,13 +29,20 @@ class SafetyCheckerConfig:
     clip: CLIPVisionConfig = CLIPVisionConfig()
     n_concepts: int = 17
     n_special: int = 3
-    # adjustment applied to thresholds (diffusers exposes the same knob)
+    # adjustment added to scores ("lower value => stronger filter" knob,
+    # diffusers StableDiffusionSafetyChecker.forward semantics)
     adjustment: float = 0.0
 
 
 class SafetyChecker:
     """checker(images01) -> (filtered01, flags). Needs converted weights
-    (tower + concept embeds/thresholds) for real filtering."""
+    (tower + concept/special embeds and thresholds: ckpt/convert.py::
+    convert_safety_checker) for real filtering.
+
+    Scoring parity (diffusers safety_checker.forward): cosine of the CLIP
+    projection against special-care embeds first; any special hit raises the
+    per-image concept adjustment by 0.01; nsfw if any concept score > 0.
+    """
 
     def __init__(self, config: SafetyCheckerConfig = SafetyCheckerConfig(),
                  params: Optional[dict] = None):
@@ -50,11 +57,19 @@ class SafetyChecker:
 
         emb = self.tower.apply(params["tower"], clip_normalize(images01))
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-        concepts = params["concept_embeds"]
-        thresholds = params["concept_thresholds"]
-        cos = emb @ concepts.T  # (B, n_concepts)
-        flags = jnp.any(cos > (thresholds + self.config.adjustment), axis=-1)
-        return flags
+
+        def cos(concepts):
+            c = concepts / jnp.linalg.norm(concepts, axis=-1, keepdims=True)
+            return emb @ c.T
+
+        adj = self.config.adjustment
+        special = cos(params["special_embeds"]) \
+            - params["special_thresholds"] + adj
+        special_hit = jnp.any(special > 0, axis=-1)
+        per_img_adj = jnp.where(special_hit, 0.01, 0.0)[:, None]
+        concept = cos(params["concept_embeds"]) \
+            - params["concept_thresholds"] + adj + per_img_adj
+        return jnp.any(concept > 0, axis=-1)
 
     @staticmethod
     def _blur(images01, factor: int = 16):

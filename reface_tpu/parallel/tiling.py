@@ -57,11 +57,14 @@ def unfold(x: jnp.ndarray, tile: int, stride: int):
 
 
 def fold(tiles: jnp.ndarray, meta: dict, out_channels: int | None = None,
-         scale: int = 1) -> jnp.ndarray:
-    """Weighted fold of (T*B, t*s, t*s, C) tiles back to (B, H*s, W*s, C)."""
+         scale: float = 1) -> jnp.ndarray:
+    """Weighted fold of (T*B, t*s, t*s, C) tiles back to (B, H*s, W*s, C).
+
+    scale may be fractional (e.g. 1/8 for a VAE encode) as long as every
+    tile start and the tile size stay integral after scaling."""
     b = meta["batch"]
-    tile = meta["tile"] * scale
-    h, w = meta["h"] * scale, meta["w"] * scale
+    tile = int(round(meta["tile"] * scale))
+    h, w = int(round(meta["h"] * scale)), int(round(meta["w"] * scale))
     c = out_channels or tiles.shape[-1]
     weights = jnp.asarray(border_weights(tile))[None, :, :, None]
     acc = jnp.zeros((b, h, w, c), tiles.dtype)
@@ -69,7 +72,7 @@ def fold(tiles: jnp.ndarray, meta: dict, out_channels: int | None = None,
     i = 0
     for y0 in meta["ys"]:
         for x0 in meta["xs"]:
-            y, x = y0 * scale, x0 * scale
+            y, x = int(round(y0 * scale)), int(round(x0 * scale))
             patch = tiles[i * b : (i + 1) * b] * weights
             acc = acc.at[:, y : y + tile, x : x + tile, :].add(patch)
             norm = norm.at[:, y : y + tile, x : x + tile, :].add(weights)
@@ -78,7 +81,7 @@ def fold(tiles: jnp.ndarray, meta: dict, out_channels: int | None = None,
 
 
 def tiled_apply(fn, x: jnp.ndarray, tile: int, stride: int,
-                out_channels: int | None = None, scale: int = 1) -> jnp.ndarray:
+                out_channels: int | None = None, scale: float = 1) -> jnp.ndarray:
     """Apply fn to overlapping tiles as ONE batched call and fold back.
 
     fn: (N, tile, tile, C) -> (N, tile*scale, tile*scale, C') — e.g. a VAE

@@ -54,12 +54,20 @@ class SwapConfig:
     conditioner: ConditionerConfig = ConditionerConfig()
     ddim_steps: int = 50
     cfg_scale: float = 3.0
+    # serving mode: CFG only on the first cfg_steps high-noise steps
+    # (0 = reference protocol, CFG on every step)
+    cfg_steps: int = 0
     eta: float = 0.0
     sampler: str = "ddim"  # "ddim" | "plms"
     image_size: int = 512
     latent_size: int = 64
     sample_posterior: bool = True  # reference samples the VAE posterior
     start_noise_t: int = 999  # target_start_noise_t for prior starts
+    # Overlapping spatial fold/unfold tiling for the VAE (split_input_params
+    # parity, ddpm.py:1286-1434): 0 = off; vae_tile is in LATENT pixels for
+    # decode and is multiplied by the VAE downsample factor for encode.
+    vae_tile: int = 0
+    vae_tile_stride: int = 0  # 0 = vae_tile // 2
 
 
 class SwapModules:
@@ -72,18 +80,47 @@ class SwapModules:
         self.vae = AutoencoderKL(config.vae)
         self.conditioner = REFaceConditioner(config.conditioner)
 
+    @property
+    def _vae_factor(self) -> int:
+        return self.config.image_size // self.config.latent_size
+
     def encode_latent(self, params, image, key=None):
-        post = self.vae.apply(
-            params["vae"], image, method=AutoencoderKL.encode
-        )
-        z = post.sample(key) if key is not None else post.mode()
-        return z * SD_SCALE_FACTOR
+        cfg = self.config
+
+        def enc(img):
+            post = self.vae.apply(
+                params["vae"], img, method=AutoencoderKL.encode
+            )
+            z = post.sample(key) if key is not None else post.mode()
+            return z * SD_SCALE_FACTOR
+
+        f = self._vae_factor
+        if cfg.vae_tile and image.shape[1] > cfg.vae_tile * f:
+            from reface_tpu.parallel.tiling import tiled_apply
+
+            tile = cfg.vae_tile * f
+            stride = (cfg.vae_tile_stride or cfg.vae_tile // 2) * f
+            return tiled_apply(enc, image, tile, stride,
+                               out_channels=4, scale=1.0 / f)
+        return enc(image)
 
     def decode_latent(self, params, z):
-        img = self.vae.apply(
-            params["vae"], z / SD_SCALE_FACTOR, method=AutoencoderKL.decode
-        )
-        return jnp.clip(img, -1.0, 1.0)
+        cfg = self.config
+
+        def dec(zz):
+            img = self.vae.apply(
+                params["vae"], zz / SD_SCALE_FACTOR,
+                method=AutoencoderKL.decode,
+            )
+            return jnp.clip(img, -1.0, 1.0)
+
+        if cfg.vae_tile and z.shape[1] > cfg.vae_tile:
+            from reface_tpu.parallel.tiling import tiled_apply
+
+            stride = cfg.vae_tile_stride or cfg.vae_tile // 2
+            return tiled_apply(dec, z, cfg.vae_tile, stride,
+                               out_channels=3, scale=self._vae_factor)
+        return dec(z)
 
     def build_context(self, params, ref_clip224, target_image, landmarks):
         """Fused conditioning: CLIP(src)+CLIP(tar)+ID(src)+landmarks(tar)."""
@@ -163,6 +200,7 @@ class FaceSwapper(SwapModules):
                 model_fn, x_T, c, uc, z_inpaint, mask_latent, self.tables,
                 cfg.cfg_scale, eta=cfg.eta,
                 key=k_noise if cfg.eta != 0 else None,
+                cfg_steps=cfg.cfg_steps or None,
             )
         return self.decode_latent(params, z)
 

@@ -68,6 +68,28 @@ def test_test_bench_pairs(celeba_root):
     )
 
 
+def test_test_bench_prior_dir(celeba_root, tmp_path):
+    """load_prior parity (test_bench_dataset.py:357-363): a prior dir adds a
+    [-1,1] prior_image column keyed by target id."""
+    import cv2
+
+    prior_dir = str(tmp_path / "priors")
+    import os
+
+    os.makedirs(prior_dir)
+    rng = np.random.default_rng(3)
+    for tid in (28000, 28001):
+        img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        cv2.imwrite(os.path.join(prior_dir, f"{tid}.png"), img)
+    ds = TestBenchDataset(TestBenchConfig(
+        dataset_dir=celeba_root, dataset="celeba", image_size=64, num_pairs=2,
+        prior_dir=prior_dir,
+    ))
+    it = ds[0]
+    assert it["prior_image"].shape == (64, 64, 3)
+    assert it["prior_image"].min() >= -1.0 and it["prior_image"].max() <= 1.0
+
+
 def test_ffhq_layout(tmp_path):
     root = make_synthetic_ffhq(str(tmp_path), 0, 3, size=64)
     ds = FFHQDataset(FFHQConfig(dataset_dir=root, state="train",
