@@ -39,8 +39,9 @@ def guided_ddim_sample(
 ) -> jnp.ndarray:
     """DDIM chain with per-step gradient guidance on pred_x0's latent.
 
-    guidance_loss_fn: pred_x0 latent (B,h,w,4) -> scalar loss (it should
-    internally decode and evaluate ID/seg towers as needed).
+    guidance_loss_fn: (pred_x0 latent (B,h,w,4), t scalar) -> scalar loss
+    (it should internally decode and evaluate ID/seg/3DMM towers as needed;
+    ready-made builders live in reface_tpu.diffusion.guidance).
     """
     use_cfg = uncond_context is not None and cfg_scale != 1.0
     b = x_T.shape[0]
@@ -67,7 +68,7 @@ def guided_ddim_sample(
 
         def loss_of_x(xx):
             pred_x0 = (xx - s1m * eps) / jnp.sqrt(a_t)
-            return guidance_loss_fn(pred_x0)
+            return guidance_loss_fn(pred_x0, t)
 
         grad = jax.grad(loss_of_x)(x)
         eps = eps + jnp.sqrt(1.0 - a_t) * guidance_scale * grad

@@ -54,7 +54,7 @@ def test_guided_ddim_moves_toward_lower_loss():
     x_T = jnp.sqrt(tabs.alphas[-1]) * x0 + jnp.sqrt(1 - tabs.alphas[-1]) * e
     model_fn = lambda x9, t, c: jnp.broadcast_to(e, x9.shape[:3] + (4,))
     target = jnp.full_like(x0, 2.0)
-    loss_fn = lambda pred: jnp.mean((pred - target) ** 2)
+    loss_fn = lambda pred, t: jnp.mean((pred - target) ** 2)
     rest_z = jnp.zeros_like(x0)
     mask = jnp.zeros(x0.shape[:3] + (1,))
     base = guided_ddim_sample(model_fn, loss_fn, x_T, jnp.zeros((1, 1, 8)),
