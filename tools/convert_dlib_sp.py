@@ -41,18 +41,44 @@ def write_model(path, init_shape, cascades):
                     f.write(struct.pack(f"<{n_points*2}f", *leaf))
 
 
-def convert(dat_path: str, out_path: str) -> None:
-    import dlib  # noqa: F401  (offline-only dependency)
+def convert(dat_path: str, out_path: str) -> dict:
+    """Parse a dlib shape_predictor .dat (standalone reader — dlib NOT
+    required; tools/dlib_serialize.py implements the on-disk encoding) and
+    write the .rert binary. Returns the parsed model for inspection.
 
-    # dlib does not expose shape_predictor internals from Python; the
-    # supported conversion path is via dlib's C++ deserialize into this
-    # format (see native/tools/dump_dlib_sp.cpp sketch below) or via the
-    # python bindings of a patched dlib. Document the expectation here.
-    raise SystemExit(
-        "dlib's python API does not expose predictor internals; build "
-        "native/tools/dump_dlib_sp.cpp against dlib to dump the tensors, "
-        "then call write_model(). See native/README.md."
+    All trees must share one depth (true for dlib-trained predictors: the
+    trainer builds complete trees of fixed depth; Kazemi & Sullivan 2014)
+    because the native evaluator indexes complete trees.
+    """
+    from tools.dlib_serialize import parse_shape_predictor
+
+    model = parse_shape_predictor(dat_path)
+    cascades = model["cascades"]
+    if not cascades:
+        raise ValueError("shape predictor has no cascades")
+
+    n_splits = len(cascades[0]["trees"][0][0])
+    depth = (n_splits + 1).bit_length() - 1
+    if (1 << depth) - 1 != n_splits:
+        raise ValueError(f"tree is not complete: {n_splits} splits")
+    n_points = len(model["init_shape"]) // 2
+    for c in cascades:
+        if len(c["anchors"]) != len(c["deltas"]):
+            raise ValueError("anchors/deltas length mismatch")
+        if c["anchors"].size and int(c["anchors"].max()) >= n_points:
+            raise ValueError("anchor index out of range")
+        for splits, leaves in c["trees"]:
+            if len(splits) != n_splits or len(leaves) != n_splits + 1:
+                raise ValueError("ragged tree (all trees must share depth)")
+
+    write_model(out_path, model["init_shape"], cascades)
+    print(
+        f"[convert_dlib_sp] {dat_path} -> {out_path}: "
+        f"{n_points} points, {len(cascades)} cascades, "
+        f"{len(cascades[0]['trees'])} trees/cascade, depth {depth}, "
+        f"{len(cascades[0]['anchors'])} features/cascade"
     )
+    return model
 
 
 if __name__ == "__main__":
