@@ -28,6 +28,37 @@ def test_unet_tp_spec_rules():
     assert unet_tp_spec(("x", "conv", "kernel"), (3, 3, 9, 32)) == P()
 
 
+def test_unet_tp_spec_divides_real_size_params():
+    """Apply the TP rules to the REAL 860M-param UNet shapes (eval_shape —
+    no memory) and assert every model-sharded dim divides the axis size for
+    2-, 4-, and 8-way TP (VERDICT weak #9)."""
+    from reface_tpu.nn.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig()  # full size
+    model = UNetModel(cfg)
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 64, 64, 9)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 1, 768)),
+    )
+    flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
+    n_params = sum(int(np.prod(s.shape)) for _, s in flat)
+    assert n_params == 859_535_364  # SD UNet + 9-ch conv_in delta
+
+    n_sharded = 0
+    sharded_params = 0
+    for path, s in flat:
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        spec = unet_tp_spec(keys, s.shape)
+        for dim, name in enumerate(spec):
+            if name == "model":
+                n_sharded += 1
+                sharded_params += int(np.prod(s.shape))
+                for ways in (2, 4, 8):
+                    assert s.shape[dim] % ways == 0, (keys, s.shape, dim, ways)
+    assert n_sharded > 100  # the bulk of the net actually shards
+    assert sharded_params / n_params > 0.8
+
+
 def test_tp_placement_and_train_step():
     mesh = create_mesh(n_data=4, n_model=2)
     cfg = tiny_swap_config(image_size=64, ddim_steps=2)
