@@ -73,9 +73,9 @@ class CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         x = x + CLIPAttention(self.hidden, self.heads, dtype=self.dtype, name="attn")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(self.hidden * 4, dtype=self.dtype, name="fc1")(h)
         h = quick_gelu(h)
         return x + nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
@@ -110,10 +110,10 @@ class CLIPVisionTower(nn.Module):
             (cfg.num_tokens, cfg.hidden),
         )
         h = h + pos.astype(dt)[None]
-        h = nn.LayerNorm(dtype=jnp.float32, name="pre_layernorm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_layernorm")(h)
         for i in range(cfg.layers):
             h = CLIPLayer(cfg.hidden, cfg.heads, dtype=dt, name=f"layer_{i}")(h)
-        pooled = nn.LayerNorm(dtype=jnp.float32, name="post_layernorm")(h[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_layernorm")(h[:, 0])
         return nn.Dense(
             cfg.projection_dim, use_bias=False, dtype=jnp.float32,
             name="visual_projection",
@@ -131,7 +131,7 @@ class MapperBlock(nn.Module):
     def __call__(self, x):
         b, n, _ = x.shape
         d = self.width // self.heads
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         qkv = nn.Dense(self.width * 3, dtype=self.dtype, name="c_qkv")(h)
         qkv = qkv.reshape(b, n, self.heads, 3 * d)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -140,7 +140,7 @@ class MapperBlock(nn.Module):
         w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         att = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(b, n, self.width)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="c_proj")(att)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(h)
         h = nn.gelu(h, approximate=False)
         return x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
@@ -176,4 +176,4 @@ class CLIPConditioner(nn.Module):
         z = CLIPVisionTower(self.vision, name="tower")(x)
         z = z[:, None, :]  # (B, 1, 768)
         z = MapperTransformer(dtype=self.vision.dtype, name="mapper2")(z)
-        return nn.LayerNorm(dtype=jnp.float32, name="final_ln2")(z)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln2")(z)

@@ -47,17 +47,22 @@ class UNetConfig:
     context_dim: int = 768
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    # fuse GroupNorm+SiLU into one Pallas kernel (ops/groupnorm.py) where it
+    # fits VMEM; identical param tree, A/B-able per config
+    fused_groupnorm: bool = False
 
 
 class ResBlock(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x, emb):
         ch = x.shape[-1]
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(name="in_norm", fuse_silu=self.fused_gn)(x)
+        if not self.fused_gn:
+            h = nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv"
         )(h)
@@ -65,8 +70,9 @@ class ResBlock(nn.Module):
             nn.silu(emb)
         )
         h = h + e[:, None, None, :]
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="out_norm", fuse_silu=self.fused_gn)(h)
+        if not self.fused_gn:
+            h = nn.silu(h)
         h = nn.Conv(
             self.out_channels,
             (3, 3),
@@ -91,12 +97,12 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         d = self.channels // self.num_heads
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(
             self.channels, heads=self.num_heads, dim_head=d, dtype=self.dtype,
             name="attn1",
         )(h)
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.channels,
             context_dim=self.context_dim,
@@ -105,7 +111,7 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn2",
         )(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(x)
         return x + FeedForwardGEGLU(self.channels, dtype=self.dtype, name="ff")(h)
 
 
@@ -174,7 +180,10 @@ class UNetModel(nn.Module):
         """x: (B, H, W, 9) latent stack; timesteps: (B,); context: (B, T, 768)."""
         cfg = self.config
         dt = cfg.dtype
-        res_block = nn.remat(ResBlock) if cfg.remat else ResBlock
+        res_block_cls = nn.remat(ResBlock) if cfg.remat else ResBlock
+        from functools import partial as _partial
+
+        res_block = _partial(res_block_cls, fused_gn=cfg.fused_groupnorm)
         transformer = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
 
         t_emb = timestep_embedding(timesteps, cfg.model_channels)
@@ -248,8 +257,9 @@ class UNetModel(nn.Module):
                 features.append(h)
                 block_idx += 1
 
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="out_norm", fuse_silu=cfg.fused_groupnorm)(h)
+        if not cfg.fused_groupnorm:
+            h = nn.silu(h)
         out = nn.Conv(
             cfg.out_channels,
             (3, 3),
