@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
     ap.add_argument("--batch", type=int, default=0, help="0 = auto")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cfg-steps", type=int, default=0,
+                    help="serving mode: CFG only on the first N steps "
+                         "(0 = reference protocol)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--weights-dtype", default="bfloat16")
     args = ap.parse_args()
@@ -51,7 +54,7 @@ def main():
         cfg = tiny_swap_config(image_size=64, ddim_steps=2)
         batch = args.batch or 2
     else:
-        cfg = SwapConfig(ddim_steps=args.steps)
+        cfg = SwapConfig(ddim_steps=args.steps, cfg_steps=args.cfg_steps)
         batch = args.batch or 4
 
     key = jax.random.key(0)
@@ -90,8 +93,9 @@ def main():
 
     best = min(times)
     swaps_per_sec = batch / best
+    variant = f"_cfg{args.cfg_steps}" if args.cfg_steps else ""
     result = {
-        "metric": f"swaps_per_sec_per_chip_{s}px_ddim{cfg.ddim_steps}",
+        "metric": f"swaps_per_sec_per_chip_{s}px_ddim{cfg.ddim_steps}{variant}",
         "value": round(swaps_per_sec, 4),
         "unit": "swaps/s",
         "vs_baseline": round(swaps_per_sec / 10.0, 4),

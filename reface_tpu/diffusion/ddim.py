@@ -77,6 +77,7 @@ def ddim_sample(
     eta: float = 0.0,
     temperature: float = 1.0,
     key: Optional[jax.Array] = None,
+    cfg_steps: Optional[int] = None,
 ) -> jnp.ndarray:
     """Run the full reverse DDIM chain; returns the final 4-ch latent.
 
@@ -86,6 +87,11 @@ def ddim_sample(
       inpaint_latent: (B, h, w, 4) VAE latent of the masked target.
       mask_latent: (B, h, w, 1) latent-resolution inpaint mask.
       tables: DDIMTables (ascending t); scanned in reverse here.
+      cfg_steps: serving-mode CFG interval — apply classifier-free guidance
+        only on the first `cfg_steps` (high-noise) steps and run a single
+        conditional forward afterwards (guidance-interval truncation,
+        Kynkäänniemi et al. 2024). None/>=S = exact reference protocol
+        (CFG every step, ddim.py:338-346). Compiles as two static scans.
     """
     use_cfg = uncond_context is not None and cfg_scale != 1.0
     b = x_T.shape[0]
@@ -97,12 +103,15 @@ def ddim_sample(
 
     # reverse the tables so the scan runs t: 981 -> 1
     rev = lambda a: a[::-1]
-    xs = (
-        rev(tables.timesteps),
-        rev(tables.alphas),
-        rev(tables.alphas_prev),
-        rev(tables.sqrt_one_minus_alphas),
-        rev(tables.sigmas),
+    xs = tuple(
+        jnp.asarray(rev(a))
+        for a in (
+            tables.timesteps,
+            tables.alphas,
+            tables.alphas_prev,
+            tables.sqrt_one_minus_alphas,
+            tables.sigmas,
+        )
     )
     stochastic = eta != 0.0
     if stochastic and key is None:
@@ -111,25 +120,37 @@ def ddim_sample(
     step_keys = (
         jax.random.split(key, n_steps) if stochastic else jnp.zeros((n_steps, 1))
     )
+    n_cfg = n_steps
+    if use_cfg and cfg_steps is not None:
+        n_cfg = max(0, min(int(cfg_steps), n_steps))
 
-    def body(x, scan_in):
-        (t, a_t, a_prev, s1m, sig), k = scan_in
-        x9 = jnp.concatenate([x, rest], axis=-1)
-        tb = jnp.full((b,), t, jnp.int32)
-        if use_cfg:
-            eps = cfg_eps(model_fn, x9, tb, ctx, cfg_scale)
-        else:
-            eps = model_fn(x9, tb, ctx)
-        noise = (
-            jax.random.normal(k, x.shape, x.dtype) * temperature
-            if stochastic
-            else None
-        )
-        x_prev, _ = ddim_step(x, eps, a_t, a_prev, s1m, sig, noise)
-        return x_prev, None
+    def make_body(with_cfg: bool):
+        def body(x, scan_in):
+            (t, a_t, a_prev, s1m, sig), k = scan_in
+            x9 = jnp.concatenate([x, rest], axis=-1)
+            tb = jnp.full((b,), t, jnp.int32)
+            if with_cfg:
+                eps = cfg_eps(model_fn, x9, tb, ctx, cfg_scale)
+            else:
+                eps = model_fn(x9, tb, context)
+            noise = (
+                jax.random.normal(k, x.shape, x.dtype) * temperature
+                if stochastic
+                else None
+            )
+            x_prev, _ = ddim_step(x, eps, a_t, a_prev, s1m, sig, noise)
+            return x_prev, None
 
-    x_final, _ = jax.lax.scan(body, x_T, (tuple(map(jnp.asarray, xs)), step_keys))
-    return x_final
+        return body
+
+    x = x_T
+    if n_cfg > 0:
+        head = (tuple(a[:n_cfg] for a in xs), step_keys[:n_cfg])
+        x, _ = jax.lax.scan(make_body(use_cfg), x, head)
+    if n_cfg < n_steps:
+        tail = (tuple(a[n_cfg:] for a in xs), step_keys[n_cfg:])
+        x, _ = jax.lax.scan(make_body(False), x, tail)
+    return x
 
 
 def stochastic_encode(

@@ -20,6 +20,21 @@ __all__ = ["GroupNorm32", "CrossAttention", "FeedForwardGEGLU", "zeros_init"]
 zeros_init = nn.initializers.zeros
 
 
+class _FusedGroupNormSiLU(nn.GroupNorm):
+    """nn.GroupNorm param layout, fused Pallas GN+SiLU forward."""
+
+    @nn.compact
+    def __call__(self, x):
+        from reface_tpu.ops.groupnorm import group_norm_silu
+
+        feats = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (feats,),
+                           self.param_dtype)
+        bias = self.param("bias", self.bias_init, (feats,), self.param_dtype)
+        return group_norm_silu(x, scale, bias, groups=self.num_groups,
+                               eps=self.epsilon, silu=True)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in float32 regardless of input dtype.
 
@@ -27,16 +42,28 @@ class GroupNorm32(nn.Module):
     note: upcast-GN-downcast is FASTER on TPU than GN(dtype=bf16) (79 vs
     92 ms UNet fwd) — XLA fuses the fp32 island cleanly — so this stays the
     fp32 form while the transformer LayerNorms run in the compute dtype.
+
+    fuse_silu=True returns SiLU(GroupNorm(x)) through the fused Pallas
+    kernel (ops/groupnorm.py) with the SAME param tree (GroupNorm_0/scale,
+    bias); callers then skip their own nn.silu.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    fuse_silu: bool = False
 
     @nn.compact
     def __call__(self, x):
+        groups = min(self.num_groups, x.shape[-1])  # tiny test configs
+        if self.fuse_silu:
+            return _FusedGroupNormSiLU(
+                num_groups=groups,
+                epsilon=self.epsilon,
+                param_dtype=jnp.float32,
+                name="GroupNorm_0",
+            )(x)
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
-        groups = min(self.num_groups, x.shape[-1])  # tiny test configs
         out = nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,

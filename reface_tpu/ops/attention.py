@@ -30,6 +30,8 @@ def _einsum_attention(q, k, v, scale):
 
 
 def _flash_attention(q, k, v, scale):
+    import os
+
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         flash_attention,
@@ -43,9 +45,14 @@ def _flash_attention(q, k, v, scale):
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    # modest block sizes: n is 1024/4096, kv seq may be tiny (cross-attn)
-    bq = min(512, n)
-    bkv = min(512, m)
+    # block sizes: n is 1024/4096, kv seq may be tiny (cross-attn).
+    # REFACE_FLASH_BLOCK="bq,bkv" overrides for kernel A/B benchmarking.
+    bq0, bkv0 = 512, 1024
+    env = os.environ.get("REFACE_FLASH_BLOCK")
+    if env:
+        bq0, bkv0 = (int(s) for s in env.split(","))
+    bq = min(bq0, n)
+    bkv = min(bkv0, m)
     sizes = BlockSizes(
         block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bkv, block_k_dkv=bkv,

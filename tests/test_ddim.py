@@ -105,6 +105,43 @@ def test_ddim_eta_requires_key():
     assert raised
 
 
+def test_cfg_interval_serving_mode():
+    """cfg_steps=S must equal the exact protocol; cfg_steps<S switches the
+    low-noise tail to single conditional forwards (guidance-interval)."""
+    sched, tabs, x0, e = _setup()
+    aT = tabs.alphas[-1]
+    x_T = jnp.sqrt(aT) * x0 + jnp.sqrt(1 - aT) * e
+    calls = {"n": 0, "batches": []}
+
+    def model_fn(x9, t, c):
+        calls["n"] += 1
+        calls["batches"].append(x9.shape[0])
+        # eps depends on the context so CFG != single-cond
+        base = jnp.tile(e, (x9.shape[0] // e.shape[0], 1, 1, 1))
+        return base + 0.01 * jnp.mean(c)
+
+    ctx = jnp.ones((2, 1, 8))
+    uc = jnp.zeros((2, 1, 8))
+    rest = (x0, jnp.zeros(x0.shape[:3] + (1,)))
+
+    full = ddim_sample(model_fn, x_T, ctx, uc, *rest, tabs, cfg_scale=3.0)
+    same = ddim_sample(model_fn, x_T, ctx, uc, *rest, tabs, cfg_scale=3.0,
+                       cfg_steps=tabs.num_steps)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(same))
+
+    part = ddim_sample(model_fn, x_T, ctx, uc, *rest, tabs, cfg_scale=3.0,
+                       cfg_steps=4)
+    assert np.abs(np.asarray(part) - np.asarray(full)).max() > 0
+
+    # trace-time shape check: head traces a 2B batch, tail a B batch
+    calls["batches"].clear()
+    jax.make_jaxpr(
+        lambda xT: ddim_sample(model_fn, xT, ctx, uc, *rest, tabs,
+                               cfg_scale=3.0, cfg_steps=4)
+    )(x_T)
+    assert set(calls["batches"]) == {4, 2}
+
+
 def test_plms_chain_recovers_x0():
     sched, tabs, x0, e = _setup()
     aT = tabs.alphas[-1]
