@@ -46,15 +46,22 @@ def main():
                          "(0 = reference protocol)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--weights-dtype", default="bfloat16")
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "fast", "flash", "einsum"],
+                    help="self-attention kernel (fast = serving mode)")
     args = ap.parse_args()
 
+    from reface_tpu.nn.unet import UNetConfig
     from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
 
     if args.tiny:
         cfg = tiny_swap_config(image_size=64, ddim_steps=2)
         batch = args.batch or 2
     else:
-        cfg = SwapConfig(ddim_steps=args.steps, cfg_steps=args.cfg_steps)
+        cfg = SwapConfig(
+            ddim_steps=args.steps, cfg_steps=args.cfg_steps,
+            unet=UNetConfig(attn_impl=args.attn),
+        )
         batch = args.batch or 4
 
     key = jax.random.key(0)

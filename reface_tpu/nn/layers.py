@@ -73,12 +73,12 @@ class GroupNorm32(nn.Module):
         return out.astype(orig_dtype)
 
 
-def _attention(q, k, v, num_heads: int):
-    """Multi-head attention over (B, N, H*D); Pallas flash kernel on TPU for
-    long self-attention sequences, fused fp32-softmax einsum otherwise."""
+def _attention(q, k, v, num_heads: int, impl: str = "auto"):
+    """Multi-head attention over (B, N, H*D); specialized Pallas kernels on
+    TPU (see ops/attention.py routing), fp32-softmax einsum otherwise."""
     from reface_tpu.ops.attention import multi_head_attention
 
-    return multi_head_attention(q, k, v, num_heads)
+    return multi_head_attention(q, k, v, num_heads, impl=impl)
 
 
 class CrossAttention(nn.Module):
@@ -95,6 +95,7 @@ class CrossAttention(nn.Module):
     dim_head: int = 64
     head_splits: tuple = (6, 2)
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"  # auto | fast | flash | einsum (ops/attention)
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -138,7 +139,7 @@ class CrossAttention(nn.Module):
         else:
             k = to_k(ctx)
             v = to_v(ctx)
-        out = _attention(q, k, v, self.heads)
+        out = _attention(q, k, v, self.heads, impl=self.attn_impl)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 

@@ -50,6 +50,10 @@ class UNetConfig:
     # fuse GroupNorm+SiLU into one Pallas kernel (ops/groupnorm.py) where it
     # fits VMEM; identical param tree, A/B-able per config
     fused_groupnorm: bool = False
+    # self-attention kernel: "auto" (exact smalld routing), "fast" (bf16
+    # probs, no row-max — serving mode), "flash" (has a VJP; training uses
+    # this), "einsum"
+    attn_impl: str = "auto"
 
 
 class ResBlock(nn.Module):
@@ -93,6 +97,7 @@ class TransformerBlock(nn.Module):
     num_heads: int
     context_dim: int
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, context):
@@ -100,7 +105,7 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(
             self.channels, heads=self.num_heads, dim_head=d, dtype=self.dtype,
-            name="attn1",
+            attn_impl=self.attn_impl, name="attn1",
         )(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
@@ -121,6 +126,7 @@ class SpatialTransformer(nn.Module):
     context_dim: int
     depth: int = 1
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, context):
@@ -134,6 +140,7 @@ class SpatialTransformer(nn.Module):
                 self.num_heads,
                 self.context_dim,
                 dtype=self.dtype,
+                attn_impl=self.attn_impl,
                 name=f"block_{i}",
             )(h, context)
         h = h.reshape(b, hh, ww, self.channels)
@@ -204,6 +211,7 @@ class UNetModel(nn.Module):
                 cfg.context_dim,
                 depth=cfg.transformer_depth,
                 dtype=dt,
+                attn_impl=cfg.attn_impl,
                 name=name,
             )
 

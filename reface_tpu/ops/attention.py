@@ -1,14 +1,24 @@
-"""Fused multi-head attention dispatch (Pallas flash kernel on TPU).
+"""Fused multi-head attention dispatch (Pallas kernels on TPU).
 
-The UNet's hot attention layers run over 4096 spatial tokens (64x64 latents
-at ds=1); materializing (B*h, 4096, 4096) logits is pure HBM traffic. On TPU
-we route to the Pallas flash-attention kernel (tiled online-softmax, logits
-never leave VMEM); elsewhere (CPU tests) we fall back to a fp32-softmax
-einsum that XLA fuses.
+The UNet's hot self-attention runs 8 heads of d=40/80/160 over 4096/1024/256
+spatial tokens. Generic flash attention pads d to the 128-lane tile and pays
+online-softmax bookkeeping; the specialized ops/attention_smalld kernel keeps
+the whole K/V in VMEM, does one single-pass softmax per q-tile, and (at 4096
+tokens) uses sublane-contraction gemm layouts — measured on v5e at CFG-batch
+8 (tools/bench_attn.py, ms per level-1 attention):
 
-Head dims here are 40/80/160 (ch/8 at each UNet level) — below the 128-lane
-tile, so q/k/v are zero-padded up to 128 lanes for the kernel; padding
-columns contribute nothing to logits (zeros) and are sliced off the output.
+    einsum fp32-softmax   (baseline)   |  flash   6.11
+    smalld nn exact 5.55 / fast 4.70   |  tn exact 4.46 / tn fast 3.86
+
+Routing (impl="auto"): self-attention n>=2048 -> smalld tn; n>=512 ->
+smalld nn; otherwise (and on CPU, and under differentiation via
+impl="flash") the einsum/flash paths. impl="fast" additionally skips the
+row-max shift and emits bf16 probs (serving mode; fp32 exp2 cannot
+overflow for sane logits).
+
+The smalld kernels have no custom VJP — training keeps impl="flash"
+(pipelines/train.py forces it), inference uses the scan samplers where no
+grads flow.
 """
 
 from __future__ import annotations
@@ -62,22 +72,37 @@ def _flash_attention(q, k, v, scale):
     return out[..., :d]
 
 
-def attention_bhnd(q, k, v, scale: float | None = None, use_flash: bool | None = None):
+def _smalld_attention(q, k, v, scale, fast: bool):
+    from reface_tpu.ops.attention_smalld import self_attention_smalld
+
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    layout = "tn" if n >= 2048 else "nn"
+    out = self_attention_smalld(
+        q.reshape(b * h, n, d), k.reshape(b * h, m, d),
+        v.reshape(b * h, m, d), scale=scale, fast=fast, layout=layout,
+    )
+    return out.reshape(b, h, n, d)
+
+
+def attention_bhnd(q, k, v, scale: float | None = None,
+                   use_flash: bool | None = None, impl: str = "auto"):
     """Attention over (B, H, N, D) tensors. Returns (B, H, N, D)."""
     d = q.shape[-1]
+    n, m = q.shape[2], k.shape[2]
     scale = d**-0.5 if scale is None else scale
-    if use_flash is None:
-        use_flash = (
-            jax.default_backend() == "tpu"
-            and q.shape[2] >= 1024
-            and k.shape[2] >= 128
-        )
-    if use_flash:
+    if use_flash is not None:  # legacy/test toggle
+        impl = "flash" if use_flash else "einsum"
+    on_tpu = jax.default_backend() == "tpu"
+    if impl in ("auto", "fast") and on_tpu and n == m and n >= 512 and d <= 256:
+        return _smalld_attention(q, k, v, scale, fast=(impl == "fast"))
+    if impl != "einsum" and on_tpu and n >= 1024 and m >= 128:
         return _flash_attention(q, k, v, scale)
     return _einsum_attention(q, k, v, scale)
 
 
-def multi_head_attention(q, k, v, num_heads: int, use_flash: bool | None = None):
+def multi_head_attention(q, k, v, num_heads: int,
+                         use_flash: bool | None = None, impl: str = "auto"):
     """(B, N, H*D) x (B, M, H*D) -> (B, N, H*D) with fp32-softmax."""
     b, n, inner = q.shape
     m = k.shape[1]
@@ -85,5 +110,5 @@ def multi_head_attention(q, k, v, num_heads: int, use_flash: bool | None = None)
     qh = q.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
     kh = k.reshape(b, m, num_heads, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, m, num_heads, d).transpose(0, 2, 1, 3)
-    out = attention_bhnd(qh, kh, vh, use_flash=use_flash)
+    out = attention_bhnd(qh, kh, vh, use_flash=use_flash, impl=impl)
     return out.transpose(0, 2, 1, 3).reshape(b, n, inner)

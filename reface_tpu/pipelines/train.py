@@ -122,6 +122,13 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
     from reface_tpu.nn.arcface import ARC_FACE_CROP
     from reface_tpu.nn.lpips import LPIPS
 
+    # the smalld inference attention kernels define no VJP; training routes
+    # self-attention through the differentiable flash/einsum paths
+    if swap_cfg.unet.attn_impl in ("auto", "fast"):
+        swap_cfg = dataclasses.replace(
+            swap_cfg,
+            unet=dataclasses.replace(swap_cfg.unet, attn_impl="flash"),
+        )
     swapper_model = SwapModules(swap_cfg)
     lpips_model = LPIPS()
     schedule = DiffusionSchedule.create(timesteps=train_cfg.num_timesteps)

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--context-tokens", type=int, default=1)
     ap.add_argument("--fused-gn", action="store_true")
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "fast", "flash", "einsum"])
     ap.add_argument("--ablate", default="none",
                     choices=["none", "attn-core", "ff", "transformer"],
                     help="timing probes: replace a component with identity "
@@ -44,7 +46,7 @@ def main():
     import reface_tpu.nn.unet as U
 
     if args.ablate == "attn-core":
-        L._attention = lambda q, k, v, h: v  # projections stay
+        L._attention = lambda q, k, v, h, **kw: v  # projections stay
     elif args.ablate == "ff":
         L.FeedForwardGEGLU.__call__ = lambda self, x: x
     elif args.ablate == "transformer":
@@ -52,7 +54,7 @@ def main():
 
     from reface_tpu.nn.unet import UNetConfig, UNetModel
 
-    cfg = UNetConfig(fused_groupnorm=args.fused_gn)
+    cfg = UNetConfig(fused_groupnorm=args.fused_gn, attn_impl=args.attn)
     model = UNetModel(cfg)
     b = args.batch
     key = jax.random.key(0)
