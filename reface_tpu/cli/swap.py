@@ -57,6 +57,10 @@ def main(argv=None):
     ap.add_argument("--bisenet-ckpt", default=None)
     ap.add_argument("--precropped", action="store_true",
                     help="inputs already aligned; skip detect/parse/paste")
+    ap.add_argument("--mask-dir", default=None,
+                    help="precropped mode: dir of keep-masks (white=keep) "
+                         "matching target basenames; default = inpaint a "
+                         "central face-shaped ellipse")
     ap.add_argument("--head-swap", action="store_true",
                     help="universal head swap: include hair/accessories")
     args = ap.parse_args(argv)
@@ -75,13 +79,30 @@ def main(argv=None):
     key = jax.random.key(args.seed)
 
     if args.precropped:
+        from reface_tpu.cli.common import default_inpaint_mask
+
+        def keep_mask(tp):
+            """Explicit keep-mask file, else a central elliptical inpaint
+            region (legacy inference.py takes --mask_path per target)."""
+            if args.mask_dir:
+                import cv2
+
+                mp = os.path.join(args.mask_dir, os.path.basename(tp))
+                m = cv2.imread(mp, cv2.IMREAD_GRAYSCALE)
+                if m is None:
+                    raise SystemExit(f"mask not found: {mp}")
+                m = cv2.resize(m, (size, size),
+                               interpolation=cv2.INTER_LINEAR)
+                return (m.astype(np.float32) / 255.0)[..., None]
+            return default_inpaint_mask(size)
+
         for sp in sources:
             src = _read01(sp)
             ref = clip_normalize(jnp.asarray(src)[None])
             for tp in targets:
                 tgt01 = _read01(tp, size)
                 tgt = jnp.asarray(tgt01)[None] * 2 - 1
-                mask = jnp.ones((1, size, size, 1))
+                mask = jnp.asarray(keep_mask(tp))[None]
                 key, sub = jax.random.split(key)
                 out = swapper.swap(
                     target_image=tgt, inpaint_image=tgt * mask,
