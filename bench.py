@@ -45,6 +45,11 @@ def main():
                     help="serving mode: CFG only on the first N steps "
                          "(0 = reference protocol)")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="serving throughput mode: keep N batches in flight "
+                         "(overlaps the ~0.3s host dispatch latency of the "
+                         "tunnel with device execution; every result is "
+                         "still readback-verified). 0 = one-at-a-time")
     ap.add_argument("--weights-dtype", default="bfloat16")
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "fast", "flash", "einsum"],
@@ -89,18 +94,39 @@ def main():
     out = swapper.swap(**batch_data, key=jax.random.key(2))
     _ = float(jnp.mean(out))
 
-    times = []
     checks = []
-    for i in range(args.iters):
+    if args.pipeline:
+        # serving mode: keep `pipeline` dispatches in flight so host->device
+        # dispatch latency overlaps device execution; each result is still
+        # forced to completion by a scalar readback (in order)
+        n = max(args.iters, args.pipeline + 2) * 2
         t0 = time.perf_counter()
-        out = swapper.swap(**batch_data, key=jax.random.key(3 + i))
-        checks.append(float(jnp.mean(out)))  # forces completion
-        times.append(time.perf_counter() - t0)
+        inflight = []
+        for i in range(n):
+            inflight.append(
+                swapper.swap(**batch_data, key=jax.random.key(3 + i))
+            )
+            if len(inflight) > args.pipeline:
+                checks.append(float(jnp.mean(inflight.pop(0))))
+        for out in inflight:
+            checks.append(float(jnp.mean(out)))
+        total = time.perf_counter() - t0
+        best = total / n
+        times = [best]
+    else:
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            out = swapper.swap(**batch_data, key=jax.random.key(3 + i))
+            checks.append(float(jnp.mean(out)))  # forces completion
+            times.append(time.perf_counter() - t0)
+        best = min(times)
     assert all(abs(c) < 1e6 for c in checks)
 
-    best = min(times)
     swaps_per_sec = batch / best
     variant = f"_cfg{args.cfg_steps}" if args.cfg_steps else ""
+    if args.pipeline:
+        variant += "_pipelined"
     result = {
         "metric": f"swaps_per_sec_per_chip_{s}px_ddim{cfg.ddim_steps}{variant}",
         "value": round(swaps_per_sec, 4),

@@ -27,6 +27,13 @@ def add_model_args(ap):
     ap.add_argument("--arcface-ckpt", default=None, help="ArcFace state dict")
     ap.add_argument("--ddim-steps", type=int, default=50)
     ap.add_argument("--scale", type=float, default=3.0, help="CFG scale")
+    ap.add_argument("--cfg-steps", type=int, default=0,
+                    help="serving mode: CFG only on the first N steps "
+                         "(0 = reference protocol, CFG every step)")
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "fast", "flash", "einsum"],
+                    help="self-attention kernel (fast = bf16-prob serving "
+                         "mode; see ops/attention.py)")
     ap.add_argument("--sampler", default="ddim", choices=["ddim", "plms"])
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--tiny", action="store_true",
@@ -85,6 +92,10 @@ def resolve_swap_config(args):
             cli["cfg_scale"] = args.scale
         if args.sampler != "ddim":
             cli["sampler"] = args.sampler
+        if getattr(args, "cfg_steps", 0):
+            cli["cfg_steps"] = args.cfg_steps
+        if getattr(args, "attn", "auto") != "auto":
+            cli["unet"] = dataclasses.replace(base.unet, attn_impl=args.attn)
         if cli:
             base = dataclasses.replace(base, **cli)
     return base

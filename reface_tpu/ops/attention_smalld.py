@@ -38,26 +38,21 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, fast: bool):
     s = s * (scale * _LOG2E)
     if fast:
         # fp32 exp2 has ~2^127 of headroom, so the row-max shift exists only
-        # for fp16-era safety — skip it, emit probs straight to bf16, and
-        # move the row-sum onto the MXU (one extra dot column).
+        # for fp16-era safety — skip it in fast mode.
         p = jnp.exp2(s).astype(v.dtype)
-        ones = jnp.ones((v.shape[0], 1), v.dtype)
-        vo = jnp.concatenate([v, ones], axis=1)  # (m, d+1)
-        ol = jax.lax.dot_general(
-            p, vo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bq, d+1)
-        d = v.shape[1]
-        o_ref[0] = (ol[:, :d] / ol[:, d:]).astype(o_ref.dtype)
-        return
-    m_ = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp2(s - m_)
-    l_ = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    else:
+        # bf16 probs = the fp32-softmax-then-cast numerics of the einsum
+        # reference path; exact mode keeps the row-max shift
+        p = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True)).astype(v.dtype)
+    # row-sum folded into the PV gemm as a trailing ones-column
+    ones = jnp.ones((v.shape[0], 1), v.dtype)
+    vo = jnp.concatenate([v, ones], axis=1)  # (m, d+1)
+    ol = jax.lax.dot_general(
+        p, vo, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bq, d)
-    o_ref[0] = (o / l_).astype(o_ref.dtype)
+    )  # (bq, d+1)
+    d = v.shape[1]
+    o_ref[0] = (ol[:, :d] / ol[:, d:]).astype(o_ref.dtype)
 
 
 def _kernel_tn(qt_ref, kt_ref, vo_ref, ot_ref, *, scale: float, fast: bool):
@@ -77,8 +72,11 @@ def _kernel_tn(qt_ref, kt_ref, vo_ref, ot_ref, *, scale: float, fast: bool):
     if fast:
         p = jnp.exp2(s).astype(vo.dtype)
     else:
+        # bf16 probs = the fp32-softmax-then-cast numerics of the einsum
+        # reference path; the row-max shift is kept in exact mode
         p = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True)).astype(vo.dtype)
-    # ot = vo^T @ p^T as dot_general contracting m on sublanes/lanes
+    # ot = vo^T @ p^T as dot_general contracting m on sublanes/lanes; the
+    # trailing ones-column folds the row-sum into the same gemm
     ot = jax.lax.dot_general(
         vo, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (d+1, bq)

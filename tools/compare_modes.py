@@ -49,6 +49,22 @@ def main():
             from reface_tpu.ckpt.io import load_params
 
             p = load_params(args.ckpt, p)
+        else:
+            # SD zero-inits the residual-gate kernels (out_conv, proj_out);
+            # at random init those zeros disconnect the transformer blocks
+            # entirely and make kernel-numerics deltas vacuously 0 — fill
+            # every all-zero kernel with small noise so each path matters.
+            cnt = [0]
+
+            def fill(x):
+                if x.ndim >= 2 and not np.any(np.asarray(x)):
+                    cnt[0] += 1
+                    return 0.05 * jax.random.normal(
+                        jax.random.key(cnt[0]), x.shape, x.dtype
+                    )
+                return x
+
+            p = jax.tree.map(fill, p)
         return jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, p,
