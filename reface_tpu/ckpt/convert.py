@@ -597,7 +597,29 @@ def convert_hopenet(flax_shapes: Any, torch_sd: StateDict,
 
 
 def convert_facerecon(flax_shapes: Any, torch_sd: StateDict,
-                      prefix: str = "") -> dict:
+                      prefix: str = "", head_prefix: str | None = None) -> dict:
+    """D3DFR coeff regressor: ResNet-50 trunk at {prefix} (e.g.
+    'net_recon.backbone.') plus either a single '{prefix}fc' Linear or the
+    reference's SEVEN conv1x1 coefficient heads (networks.py:83-91:
+    id 80 / exp 64 / tex 80 / angle 3 / gamma 27 / txy 2 / tz 1, applied to
+    the pooled (B,2048,1,1) feature) — mathematically one Linear(2048,257),
+    concatenated here into our Dense 'fc'."""
+    hp = head_prefix
+    if hp is None:
+        hp = prefix.replace("backbone.", "") + "final_layers."
+    if f"{hp}0.weight" in torch_sd:
+        ws, bs = [], []
+        i = 0
+        while f"{hp}{i}.weight" in torch_sd:
+            w = np.asarray(torch_sd[f"{hp}{i}.weight"])  # (Ci, 2048, 1, 1)
+            ws.append(w[:, :, 0, 0])
+            bs.append(np.asarray(
+                torch_sd.get(f"{hp}{i}.bias", np.zeros(w.shape[0], np.float32))
+            ))
+            i += 1
+        torch_sd = dict(torch_sd)
+        torch_sd[f"{prefix}fc.weight"] = np.concatenate(ws, axis=0)
+        torch_sd[f"{prefix}fc.bias"] = np.concatenate(bs, axis=0)
     return _convert_by_rules(flax_shapes, torch_sd, _resnet50_rule(prefix))
 
 
