@@ -40,15 +40,26 @@ def load_params(path: str, target: Any = None) -> Any:
     return _ckptr().restore(path)
 
 
-def save_train_state(path: str, state, step: int) -> None:
-    save_params(path, {"params": state.params, "opt_state": state.opt_state,
-                       "step": state.step}, metadata={"step": int(step)})
+def save_train_state(path: str, state, step: int | None = None) -> None:
+    """Full-resume checkpoint: params + optimizer state + step (+ EMA)."""
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    if getattr(state, "ema", None) is not None:
+        tree["ema"] = state.ema
+    save_params(path, tree,
+                metadata={"step": int(step if step is not None else state.step)})
 
 
 def load_train_state(path: str, target_state):
-    tree = load_params(path, target={
+    target = {
         "params": target_state.params,
         "opt_state": target_state.opt_state,
         "step": target_state.step,
-    })
-    return type(target_state)(tree["params"], tree["opt_state"], tree["step"])
+    }
+    if getattr(target_state, "ema", None) is not None:
+        target["ema"] = target_state.ema
+    tree = load_params(path, target=target)
+    return type(target_state)(
+        tree["params"], tree["opt_state"], tree["step"],
+        tree.get("ema", getattr(target_state, "ema", None)),
+    )

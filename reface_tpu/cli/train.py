@@ -72,7 +72,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from reface_tpu.ckpt.io import save_params
     from reface_tpu.cli.common import save_grid_pm1
     from reface_tpu.data import (
         CelebAHQConfig,
@@ -120,16 +119,28 @@ def main(argv=None):
 
         x0 = jnp.zeros((1, args.image_size, args.image_size, 3))
         params["lpips"] = LPIPS().init(jax.random.key(1), x0, x0)
-    if args.resume:
-        from reface_tpu.ckpt.io import load_params
-
-        params = load_params(args.resume, params)
-        print(f"[train] resumed params from {args.resume}")
-
     step_fn, loss_fn, init_state = make_train_step(swap_cfg, train_cfg, recon=recon)
     jit_loss = jax.jit(loss_fn)
     state = init_state(shard_params(params, mesh))
     jit_step = jax.jit(step_fn)
+
+    resume_step = 0
+    if args.resume:
+        # FULL resume (params + optimizer state + step + EMA, the
+        # resume_from_checkpoint role); params-only dirs (e.g. converted
+        # reference checkpoints or --save-params caches) still bootstrap
+        from reface_tpu.ckpt.io import load_params, load_train_state
+
+        try:
+            state = load_train_state(args.resume, state)
+            resume_step = int(jax.device_get(state.step))
+            print(f"[train] resumed FULL train state at step {resume_step} "
+                  f"from {args.resume}")
+        except Exception as e:
+            params = load_params(args.resume, jax.device_get(state.params))
+            state = init_state(shard_params(params, mesh))
+            print(f"[train] resumed params only from {args.resume} "
+                  f"(no full state: {type(e).__name__})")
 
     if args.dataset == "celeba":
         ds = CelebAHQDataset(CelebAHQConfig(
@@ -207,8 +218,11 @@ def main(argv=None):
 
     def checkpoint(tag):
         path = os.path.join(args.logdir, "checkpoints", tag)
-        save_params(path, jax.device_get(state.params),
-                    metadata={"step": int(state.step)})
+        from reface_tpu.ckpt.io import save_train_state
+
+        # full state (params + opt + step + EMA) so --resume continues
+        # exactly; params-only consumers read the "params" subtree
+        save_train_state(path, jax.device_get(state), int(state.step))
         print(f"[train] checkpoint -> {path}")
 
     top_k: list[tuple[float, str]] = []  # (val_loss, tag), best first
@@ -230,7 +244,7 @@ def main(argv=None):
                 )
 
     key = jax.random.key(args.seed + 1)
-    step = 0
+    step = resume_step
     t0 = time.perf_counter()
     try:
         with mesh:

@@ -125,6 +125,41 @@ def test_train_step_eps_only_updates_trainables():
     assert np.abs(old_unet - new_unet).max() > 0
 
 
+def test_train_state_full_resume_roundtrip(tmp_path):
+    """save_train_state/load_train_state restore params + optimizer state +
+    step + EMA exactly (resume_from_checkpoint parity)."""
+    from reface_tpu.ckpt.io import load_train_state, save_train_state
+
+    cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    tcfg = TrainConfig(warmup_steps=5, ema_decay=0.99)
+    params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    step, _, init_state = make_train_step(cfg, tcfg)
+    state = init_state(params)
+    batch = _batch(2, 64)
+    state, _ = jax.jit(step)(state, batch, jax.random.key(1))
+    state, _ = jax.jit(step)(state, batch, jax.random.key(2))
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, jax.device_get(state), int(state.step))
+
+    fresh = init_state(FaceSwapper.init_params(cfg, jax.random.key(7)))
+    restored = load_train_state(path, fresh)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert restored.ema is not None
+    for a, b in zip(jax.tree.leaves(state.ema), jax.tree.leaves(restored.ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # stepping the restored state continues identically
+    s1, m1 = jax.jit(step)(state, batch, jax.random.key(3))
+    s2, m2 = jax.jit(step)(restored, batch, jax.random.key(3))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
 def test_landmark_conditioning_in_train_batch():
     """cli/train.py wires get_landmarks parity (ddpm.py:1206): the GT batch
     gets a (B,136) landmark column at image-size scale via LandmarkNet."""
