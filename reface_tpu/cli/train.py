@@ -119,6 +119,30 @@ def main(argv=None):
 
         x0 = jnp.zeros((1, args.image_size, args.image_size, 3))
         params["lpips"] = LPIPS().init(jax.random.key(1), x0, x0)
+    if recon is not None and recon.landmark_weight > 0:
+        # landmark aux head on the UNet's 64x64 decoder taps
+        # (LandmarkDetectionModel role, ddpm.py:163-177, 1691-1693)
+        from reface_tpu.nn.landmarks import LandmarkAuxHead
+        from reface_tpu.nn.unet import UNetModel
+
+        latent = swap_cfg.latent_size
+        _, feat_shapes = jax.eval_shape(
+            lambda p: UNetModel(swap_cfg.unet).apply(
+                p, jnp.zeros((1, latent, latent, 9)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 1, swap_cfg.conditioner.context_dim)),
+                return_features=True,
+            ),
+            params["unet"],
+        )
+        i0 = min(9, len(feat_shapes) - 2)
+        f0, f1 = feat_shapes[i0], feat_shapes[i0 + 1]
+        feat0 = jnp.zeros(
+            (1, f0.shape[1], f0.shape[2], f0.shape[-1] + f1.shape[-1])
+        )
+        params["landmark_head"] = LandmarkAuxHead().init(
+            jax.random.key(2), feat0
+        )
     step_fn, loss_fn, init_state = make_train_step(swap_cfg, train_cfg, recon=recon)
     jit_loss = jax.jit(loss_fn)
     state = init_state(shard_params(params, mesh))

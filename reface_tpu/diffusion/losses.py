@@ -128,6 +128,11 @@ def reface_losses(
     embed_id_fn: Callable,  # [-1,1] image -> (B,512) l2-normed ArcFace
     lpips_fn: Callable | None,  # (x, y) -> (B,) distances
     conditioning_fn: Callable,  # (ref_clip224, landmarks) -> (B,1,768)
+    # optional landmark aux loss (ddpm.py:1692-1693,1799-1803): the eps-MSE
+    # forward also returns decoder features; the aux head predicts 136-d
+    # landmarks from cat(features[9:11]) and is trained with MSE
+    unet_features_fn: Callable | None = None,  # (x9,t,c) -> (eps, features)
+    landmark_head_fn: Callable | None = None,  # (B,h,w,C) -> (B,136)
     schedule: DiffusionSchedule,
     cfg: ReconLossConfig,
     # data
@@ -146,13 +151,31 @@ def reface_losses(
     rest = z_start9[..., 4:]
     noise = jax.random.normal(key, z4.shape, z4.dtype)
 
-    # ---- 1. eps-MSE
+    # ---- 1. eps-MSE (+ optional landmark aux head on the same forward)
     z_t = schedule.q_sample(z4, t, noise)
     x9 = jnp.concatenate([z_t, rest], axis=-1)
-    eps_pred = unet_fn(x9, t, cond)
+    use_lm_head = (
+        cfg.landmark_weight > 0
+        and unet_features_fn is not None
+        and landmark_head_fn is not None
+        and landmarks is not None
+    )
+    if use_lm_head:
+        eps_pred, features = unet_features_fn(x9, t, cond)
+        # ref: cat(features[9:11]) — the two 64x64 320-ch decoder taps of
+        # the full UNet (ddpm.py:1691); clamp for reduced test configs
+        i0 = min(9, len(features) - 2)
+        feat_cat = jnp.concatenate([features[i0], features[i0 + 1]], axis=-1)
+        lm_pred = landmark_head_fn(feat_cat)
+        loss_landmark = jnp.mean((lm_pred - landmarks) ** 2)
+    else:
+        eps_pred = unet_fn(x9, t, cond)
     loss_simple = jnp.mean((noise - eps_pred) ** 2)
     metrics = {"loss_simple": loss_simple}
     total = loss_simple
+    if use_lm_head:
+        metrics["loss_landmark"] = loss_landmark
+        total = total + cfg.landmark_weight * loss_landmark
 
     if cfg.id_weight <= 0 and cfg.lpips_weight <= 0:
         return total, metrics

@@ -204,12 +204,25 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
                 params["conditioner"], ref, tar224, lm
             )
 
+        unet_features_fn = landmark_head_fn = None
+        if recon.landmark_weight > 0 and "landmark_head" in params:
+            from reface_tpu.nn.landmarks import LandmarkAuxHead
+
+            unet_features_fn = lambda x9, tt, cc: swapper_model.unet.apply(
+                params["unet"], x9, tt, cc, return_features=True
+            )
+            landmark_head_fn = lambda feats: LandmarkAuxHead().apply(
+                params["landmark_head"], feats
+            )
+
         return reface_losses(
             unet_fn=unet_fn,
             decode_fn=decode_fn,
             embed_id_fn=embed_id_fn,
             lpips_fn=lpips_fn,
             conditioning_fn=conditioning_fn,
+            unet_features_fn=unet_features_fn,
+            landmark_head_fn=landmark_head_fn,
             schedule=schedule,
             cfg=recon,
             z_start9=z9,

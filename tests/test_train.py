@@ -191,6 +191,50 @@ def test_landmark_conditioning_in_train_batch():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_train_step_landmark_aux_loss():
+    """Landmark_loss_weight>0 path (ddpm.py:1691-1693, 1799-1803): the aux
+    head trains on MSE vs batch landmarks, sharing the eps-MSE forward."""
+    from reface_tpu.nn.landmarks import LandmarkAuxHead
+    from reface_tpu.nn.lpips import LPIPS
+    from reface_tpu.nn.unet import UNetModel
+
+    cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    tcfg = TrainConfig(warmup_steps=5)
+    recon = ReconLossConfig(ddim_steps=2, lpips_scales=(1,),
+                            landmark_weight=0.5)
+    params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    params["lpips"] = LPIPS().init(jax.random.key(1), x, x)
+
+    latent = cfg.latent_size
+    _, feat_shapes = jax.eval_shape(
+        lambda p: UNetModel(cfg.unet).apply(
+            p, jnp.zeros((1, latent, latent, 9)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 1, cfg.conditioner.context_dim)),
+            return_features=True,
+        ),
+        params["unet"],
+    )
+    i0 = min(9, len(feat_shapes) - 2)
+    f0, f1 = feat_shapes[i0], feat_shapes[i0 + 1]
+    feat0 = jnp.zeros((1, f0.shape[1], f0.shape[2],
+                       f0.shape[-1] + f1.shape[-1]))
+    params["landmark_head"] = LandmarkAuxHead().init(jax.random.key(2), feat0)
+
+    step, _, init_state = make_train_step(cfg, tcfg, recon=recon)
+    state = init_state(params)
+    batch = _batch(2, 64)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.key(3))
+    assert "loss_landmark" in metrics
+    assert np.isfinite(float(metrics["loss_landmark"]))
+    # aux head receives gradients
+    old = np.concatenate([np.ravel(x) for x in
+                          jax.tree.leaves(state.params["landmark_head"])])
+    new = np.concatenate([np.ravel(x) for x in
+                          jax.tree.leaves(new_state.params["landmark_head"])])
+    assert np.abs(old - new).max() > 0
+
+
 def test_train_step_full_losses():
     from reface_tpu.nn.lpips import LPIPS
 
