@@ -98,20 +98,27 @@ def main():
     if args.pipeline:
         # serving mode: keep `pipeline` dispatches in flight so host->device
         # dispatch latency overlaps device execution; each result is still
-        # forced to completion by a scalar readback (in order)
+        # forced to completion by a scalar readback (in order). The clock
+        # starts at the FIRST completed batch so the power-ramp/cold chains
+        # don't bias the steady-state rate (CLAUDE.md measurement rules).
         n = max(args.iters, args.pipeline + 2) * 2
-        t0 = time.perf_counter()
         inflight = []
+        t0 = None
+        timed = 0
         for i in range(n):
             inflight.append(
                 swapper.swap(**batch_data, key=jax.random.key(3 + i))
             )
             if len(inflight) > args.pipeline:
                 checks.append(float(jnp.mean(inflight.pop(0))))
+                if t0 is None:
+                    t0 = time.perf_counter()
+                else:
+                    timed += 1
         for out in inflight:
             checks.append(float(jnp.mean(out)))
-        total = time.perf_counter() - t0
-        best = total / n
+            timed += 1
+        best = (time.perf_counter() - t0) / timed
         times = [best]
     else:
         times = []

@@ -25,16 +25,22 @@ def add_model_args(ap):
                     help="orbax params dir or torch .ckpt/.pth to convert")
     ap.add_argument("--clip-ckpt", default=None, help="HF CLIP state dict")
     ap.add_argument("--arcface-ckpt", default=None, help="ArcFace state dict")
-    ap.add_argument("--ddim-steps", type=int, default=50)
-    ap.add_argument("--scale", type=float, default=3.0, help="CFG scale")
-    ap.add_argument("--cfg-steps", type=int, default=0,
+    # sampler flags default to None so "explicitly set" is detectable —
+    # explicit CLI flags must beat YAML (main.py precedence) and also apply
+    # under --tiny; unset flags resolve to the config's values
+    ap.add_argument("--ddim-steps", type=int, default=None,
+                    help="DDIM steps (default 50)")
+    ap.add_argument("--scale", type=float, default=None,
+                    help="CFG scale (default 3.0)")
+    ap.add_argument("--cfg-steps", type=int, default=None,
                     help="serving mode: CFG only on the first N steps "
-                         "(0 = reference protocol, CFG every step)")
-    ap.add_argument("--attn", default="auto",
+                         "(default 0 = reference protocol, CFG every step)")
+    ap.add_argument("--attn", default=None,
                     choices=["auto", "fast", "flash", "einsum"],
                     help="self-attention kernel (fast = bf16-prob serving "
-                         "mode; see ops/attention.py)")
-    ap.add_argument("--sampler", default="ddim", choices=["ddim", "plms"])
+                         "mode; see ops/attention.py; default auto)")
+    ap.add_argument("--sampler", default=None, choices=["ddim", "plms"],
+                    help="(default ddim)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--tiny", action="store_true",
                     help="random tiny model (smoke runs without weights)")
@@ -47,17 +53,19 @@ def add_model_args(ap):
 
 
 def apply_config_node(dc, node: dict):
-    """Overlay a YAML/dotlist mapping onto a (frozen) dataclass instance."""
-    import dataclasses
+    """Overlay a YAML/dotlist mapping onto a (frozen) dataclass instance.
 
-    from reface_tpu.core.config import build
+    Nested dataclass nodes overlay RECURSIVELY onto the instance's current
+    field value (not the class defaults), so a partial `swap.unet:` node on
+    a tiny/base config only changes the listed keys."""
+    import dataclasses
 
     node = dict(node)
     for k in list(node):
         if isinstance(node[k], dict) and dataclasses.is_dataclass(
             getattr(dc, k, None)
         ):
-            node[k] = build(type(getattr(dc, k)), node[k])
+            node[k] = apply_config_node(getattr(dc, k), node[k])
         elif isinstance(node[k], list):
             node[k] = tuple(node[k])
     return dataclasses.replace(dc, **node)
@@ -74,30 +82,30 @@ def resolve_swap_config(args):
 
     from reface_tpu.pipelines.swap import SwapConfig, tiny_swap_config
 
-    base = (
-        tiny_swap_config(image_size=64, ddim_steps=min(args.ddim_steps, 4))
-        if args.tiny
-        else SwapConfig()
-    )
+    if args.tiny:
+        tiny_steps = min(args.ddim_steps, 4) if args.ddim_steps else 4
+        base = tiny_swap_config(image_size=64, ddim_steps=tiny_steps)
+    else:
+        base = SwapConfig()
     if getattr(args, "config", None) or getattr(args, "overrides", None):
         from reface_tpu.core.config import load_config
 
         node = load_config(args.config or [], args.overrides or [])
         base = apply_config_node(base, node.get("swap", node))
-    if not args.tiny:
-        cli = {}
-        if args.ddim_steps != 50:
-            cli["ddim_steps"] = args.ddim_steps
-        if args.scale != 3.0:
-            cli["cfg_scale"] = args.scale
-        if args.sampler != "ddim":
-            cli["sampler"] = args.sampler
-        if getattr(args, "cfg_steps", 0):
-            cli["cfg_steps"] = args.cfg_steps
-        if getattr(args, "attn", "auto") != "auto":
-            cli["unet"] = dataclasses.replace(base.unet, attn_impl=args.attn)
-        if cli:
-            base = dataclasses.replace(base, **cli)
+    # explicitly-set CLI flags win over YAML (and apply under --tiny too)
+    cli = {}
+    if args.ddim_steps is not None and not args.tiny:
+        cli["ddim_steps"] = args.ddim_steps
+    if args.scale is not None:
+        cli["cfg_scale"] = args.scale
+    if args.sampler is not None:
+        cli["sampler"] = args.sampler
+    if getattr(args, "cfg_steps", None) is not None:
+        cli["cfg_steps"] = args.cfg_steps
+    if getattr(args, "attn", None) is not None:
+        cli["unet"] = dataclasses.replace(base.unet, attn_impl=args.attn)
+    if cli:
+        base = dataclasses.replace(base, **cli)
     return base
 
 

@@ -117,9 +117,19 @@ def main(argv=None):
             ds_paths = ds_paths[: args.fid_limit]
         if not ds_paths:
             raise SystemExit(f"no dataset images found in {img_dir}")
-        fa = clip_features(p, jnp.asarray(clip_fid_load(swap_paths)))
-        fb = clip_features(p, jnp.asarray(clip_fid_load(ds_paths)))
-        results["clip_fid"] = clip_fid(fa, fb)
+
+        def feats_chunked(paths, chunk=256):
+            # load+featurize in chunks: the dataset dir can be 30k images
+            # (~18 GB as one float32 array)
+            out = [
+                clip_features(p, jnp.asarray(clip_fid_load(paths[i:i + chunk])))
+                for i in range(0, len(paths), chunk)
+            ]
+            return np.concatenate(out, axis=0)
+
+        results["clip_fid"] = clip_fid(
+            feats_chunked(swap_paths), feats_chunked(ds_paths)
+        )
 
     if "id" in args.metrics:
         from reface_tpu.eval import id_retrieval_metrics

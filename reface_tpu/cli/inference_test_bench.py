@@ -128,7 +128,8 @@ def main(argv=None):
         if safety is not None:
             out01, flags = safety((out + 1.0) / 2.0)
             out = out01 * 2.0 - 1.0
-            nflag = int(np.asarray(flags).sum())
+            # count only the real rows (the ragged tail repeats the last item)
+            nflag = int(np.asarray(flags)[:b].sum())
             if nflag:
                 print(f"[test_bench] safety checker flagged {nflag} images")
         out = np.asarray(out)[:b]

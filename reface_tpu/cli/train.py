@@ -161,10 +161,20 @@ def main(argv=None):
             print(f"[train] resumed FULL train state at step {resume_step} "
                   f"from {args.resume}")
         except Exception as e:
-            params = load_params(args.resume, jax.device_get(state.params))
+            # fall back to params-only (converted reference checkpoints /
+            # --save-params caches) — loudly: optimizer state, EMA, and the
+            # step counter are NOT restored. A structure mismatch (e.g. a
+            # checkpoint saved with a different --ema-decay setting) lands
+            # here too; if params-only also fails, raise the original error.
+            print(f"[train] WARNING: full-state resume failed "
+                  f"({type(e).__name__}: {e}); trying params-only "
+                  f"(optimizer/EMA/step will restart)")
+            try:
+                params = load_params(args.resume, jax.device_get(state.params))
+            except Exception:
+                raise e
             state = init_state(shard_params(params, mesh))
-            print(f"[train] resumed params only from {args.resume} "
-                  f"(no full state: {type(e).__name__})")
+            print(f"[train] resumed params only from {args.resume}")
 
     if args.dataset == "celeba":
         ds = CelebAHQDataset(CelebAHQConfig(

@@ -38,7 +38,7 @@ def main(argv=None):
     ap.add_argument("--bisenet-ckpt", default=None)
     args = ap.parse_args(argv)
     apply_backend(args)
-    if args.ddim_steps == 50:
+    if args.ddim_steps is None:
         args.ddim_steps = 30  # video protocol default (inference_video_swap.sh)
 
     import cv2

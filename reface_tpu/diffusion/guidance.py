@@ -97,17 +97,21 @@ def make_seg_guidance(decode_fn, seg_logits_fn, target_pm1,
 
 
 def make_expression_guidance(decode_fn, coeff_fn, target_pm1,
+                             inpaint_region=None,
                              weight: float = 100.0) -> GuidanceFn:
     """3DMM expression guidance: 1 - cos(exp(pred), exp(target)) summed over
-    the batch (ddim_guided.py:460-508).
+    the batch (ddim_guided.py:460-508; the reference evaluates the
+    inpaint-region-MASKED decode, im_rec = (pred_x0_im_masked + 1)/2).
 
     coeff_fn: [0,1] image -> (B, 64) D3DFR expression coefficients
               (coeffs[80:144]).
+    inpaint_region: (B,*,*,1) 1 = generated region (1 - keep mask).
     """
     tgt_exp = coeff_fn((target_pm1 + 1.0) / 2.0)
 
     def fn(pred_x0, t):
-        img01 = (decode_fn(pred_x0) + 1.0) / 2.0
+        img = _masked_decode(decode_fn, pred_x0, inpaint_region)
+        img01 = (img + 1.0) / 2.0
         exp = coeff_fn(img01)
         cos = jnp.sum(exp * tgt_exp, axis=-1) / (
             jnp.linalg.norm(exp, axis=-1) * jnp.linalg.norm(tgt_exp, axis=-1)

@@ -62,13 +62,15 @@ class SafetyChecker:
             c = concepts / jnp.linalg.norm(concepts, axis=-1, keepdims=True)
             return emb @ c.T
 
-        adj = self.config.adjustment
+        # diffusers semantics: the global adjustment applies to the
+        # special-care scores ONLY; concepts get just the per-image +0.01
+        # raised by a special-care hit
         special = cos(params["special_embeds"]) \
-            - params["special_thresholds"] + adj
+            - params["special_thresholds"] + self.config.adjustment
         special_hit = jnp.any(special > 0, axis=-1)
         per_img_adj = jnp.where(special_hit, 0.01, 0.0)[:, None]
         concept = cos(params["concept_embeds"]) \
-            - params["concept_thresholds"] + adj + per_img_adj
+            - params["concept_thresholds"] + per_img_adj
         return jnp.any(concept > 0, axis=-1)
 
     @staticmethod

@@ -32,6 +32,12 @@ ATOL = 3e-4
 
 def _stub(name, **attrs):
     mod = sys.modules.get(name) or types.ModuleType(name)
+    if getattr(mod, "__spec__", None) is None:
+        import importlib.machinery
+
+        # later importlib.util.find_spec probes (e.g. transformers feature
+        # detection) raise on stubs without a __spec__
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod

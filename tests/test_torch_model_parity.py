@@ -37,6 +37,12 @@ ATOL = 2e-4  # fp32 both sides; conv/gemm op-order differences only
 
 def _stub(name, **attrs):
     mod = sys.modules.get(name) or types.ModuleType(name)
+    if getattr(mod, "__spec__", None) is None:
+        import importlib.machinery
+
+        # later importlib.util.find_spec probes (e.g. transformers feature
+        # detection) raise on stubs without a __spec__
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
