@@ -46,10 +46,14 @@ def main():
                          "(0 = reference protocol)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--pipeline", type=int, default=0,
-                    help="serving throughput mode: keep N batches in flight "
-                         "(overlaps the ~0.3s host dispatch latency of the "
-                         "tunnel with device execution; every result is "
-                         "still readback-verified). 0 = one-at-a-time")
+                    help="EXPERIMENTAL overlapped-dispatch mode. NOT trusted "
+                         "over the axon tunnel: with batches in flight the "
+                         "readback ordering is unreliable and measured rates "
+                         "can exceed the chip's FLOP ceiling (observed 1.96 "
+                         "swaps/s at DDIM-50 vs a ~1.5 physical max). The "
+                         "recorded numbers use the default one-at-a-time "
+                         "mode, whose per-batch readback RTT makes them "
+                         "strictly conservative.")
     ap.add_argument("--weights-dtype", default="bfloat16")
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "fast", "flash", "einsum"],
