@@ -33,7 +33,7 @@ def main(argv=None):
     ap.add_argument("--results-dir", required=True,
                     help="dir of {source}_{target}.png swaps")
     ap.add_argument("--dataset-dir", required=True)
-    ap.add_argument("--dataset", default="celeba", choices=["celeba", "ffhq"])
+    ap.add_argument("--dataset", default="celeba", choices=["celeba", "ffhq", "ff"])
     ap.add_argument("--metrics", nargs="+",
                     default=["fid", "id", "pose", "expression"])
     ap.add_argument("--allow-random", action="store_true",
@@ -143,15 +143,16 @@ def main(argv=None):
         # evaluate_all.sh source/target mask args)
         src_ids = sorted({s for _, s, _ in pairs})
         src_index = {s: i for i, s in enumerate(src_ids)}
+        preserve_key = {"ff": "ff++"}.get(args.dataset, args.dataset)
         src112 = id_masked_112_load(
             [bench.img_path(s) for s in src_ids],
             [bench.mask_path(s) for s in src_ids],
-            args.dataset,
+            preserve_key,
         )
         swap112 = id_masked_112_load(
             swap_paths,
             [bench.mask_path(t) for _, _, t in pairs],
-            args.dataset,
+            preserve_key,
         )
         f_src = id_embed_protocol(p, src112)
         f_swap = id_embed_protocol(p, swap112)

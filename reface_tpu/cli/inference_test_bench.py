@@ -28,7 +28,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_model_args(ap)
     ap.add_argument("--dataset-dir", required=True)
-    ap.add_argument("--dataset", default="celeba", choices=["celeba", "ffhq"])
+    ap.add_argument("--dataset", default="celeba", choices=["celeba", "ffhq", "ff"])
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--n-samples", type=int, default=10, help="device batch")
     ap.add_argument("--num-pairs", type=int, default=1000)
