@@ -83,15 +83,21 @@ def resolve_swap_config(args):
     from reface_tpu.pipelines.swap import SwapConfig, tiny_swap_config
 
     if args.tiny:
-        tiny_steps = min(args.ddim_steps, 4) if args.ddim_steps else 4
-        base = tiny_swap_config(image_size=64, ddim_steps=tiny_steps)
+        base = tiny_swap_config(image_size=64,
+                                ddim_steps=args.ddim_steps or 4)
     else:
         base = SwapConfig()
     if getattr(args, "config", None) or getattr(args, "overrides", None):
-        from reface_tpu.core.config import load_config
+        from reface_tpu.core.config import load_config, merge
 
         node = load_config(args.config or [], args.overrides or [])
-        base = apply_config_node(base, node.get("swap", node))
+        # a config may use a sectioned schema (swap:/train:/recon: nodes,
+        # the cli/train.py layout) or bare top-level SwapConfig fields;
+        # merge the bare fields with the swap: section so mixed YAML +
+        # swap.* dotlists both apply, and other sections are ignored here
+        sections = ("swap", "train", "recon")
+        bare = {k: v for k, v in node.items() if k not in sections}
+        base = apply_config_node(base, merge(bare, node.get("swap", {})))
     # explicitly-set CLI flags win over YAML (and apply under --tiny too)
     cli = {}
     if args.ddim_steps is not None and not args.tiny:
@@ -184,6 +190,22 @@ def build_safety_checker(ckpt_path: str | None):
         load_torch_state_dict(ckpt_path),
     )
     return SafetyChecker(scfg, params)
+
+
+def decode_keep_mask(data, size: int) -> np.ndarray:
+    """Decode a keep-mask (white=keep) from PNG bytes or a file path to a
+    (size, size, 1) float array — shared by the precropped modes of
+    cli/swap.py and cli/demo_server.py."""
+    import cv2
+
+    if isinstance(data, (bytes, bytearray)):
+        m = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+    else:
+        m = cv2.imread(str(data), cv2.IMREAD_GRAYSCALE)
+    if m is None:
+        raise ValueError("could not decode mask image")
+    m = cv2.resize(m, (size, size), interpolation=cv2.INTER_LINEAR)
+    return (m.astype(np.float32) / 255.0)[..., None]
 
 
 def default_inpaint_mask(size: int) -> np.ndarray:

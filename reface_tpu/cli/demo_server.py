@@ -61,7 +61,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from reface_tpu.cli.common import build_safety_checker, default_inpaint_mask
+    from reface_tpu.cli.common import (
+        build_safety_checker,
+        decode_keep_mask,
+        default_inpaint_mask,
+    )
     from reface_tpu.pipelines.raw import RawSwapPipeline
     from reface_tpu.pipelines.swap import clip_normalize
 
@@ -81,6 +85,8 @@ def main(argv=None):
         with lock:
             state["key"], sub = jax.random.split(state["key"])
             if pipe is not None:
+                # raw mode derives the mask from the parser; an uploaded
+                # mask applies only in --precropped mode
                 out01 = np.asarray(
                     pipe.swap_images(jnp.asarray(tgt)[None],
                                      jnp.asarray(src)[None], key=sub)[0]
@@ -93,11 +99,7 @@ def main(argv=None):
                 tgt_r = cv2.resize(tgt, (size, size))
                 src_r = cv2.resize(src, (size, size))
                 if mask_png:
-                    m = cv2.imdecode(np.frombuffer(mask_png, np.uint8),
-                                     cv2.IMREAD_GRAYSCALE)
-                    m = cv2.resize(m, (size, size),
-                                   interpolation=cv2.INTER_LINEAR)
-                    keep = (m.astype(np.float32) / 255.0)[..., None]
+                    keep = decode_keep_mask(mask_png, size)
                 else:
                     keep = default_inpaint_mask(size)
                 t = jnp.asarray(tgt_r)[None] * 2 - 1

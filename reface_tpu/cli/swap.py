@@ -79,21 +79,17 @@ def main(argv=None):
     key = jax.random.key(args.seed)
 
     if args.precropped:
-        from reface_tpu.cli.common import default_inpaint_mask
+        from reface_tpu.cli.common import decode_keep_mask, default_inpaint_mask
 
         def keep_mask(tp):
             """Explicit keep-mask file, else a central elliptical inpaint
             region (legacy inference.py takes --mask_path per target)."""
             if args.mask_dir:
-                import cv2
-
                 mp = os.path.join(args.mask_dir, os.path.basename(tp))
-                m = cv2.imread(mp, cv2.IMREAD_GRAYSCALE)
-                if m is None:
+                try:
+                    return decode_keep_mask(mp, size)
+                except ValueError:
                     raise SystemExit(f"mask not found: {mp}")
-                m = cv2.resize(m, (size, size),
-                               interpolation=cv2.INTER_LINEAR)
-                return (m.astype(np.float32) / 255.0)[..., None]
             return default_inpaint_mask(size)
 
         for sp in sources:

@@ -114,7 +114,8 @@ def main(argv=None):
             recon = apply_config_node(recon or ReconLossConfig(), node["recon"])
 
     params = FaceSwapper.init_params(swap_cfg, jax.random.key(args.seed))
-    if args.full_losses:
+    if recon is not None and recon.lpips_weight > 0:
+        # recon can arrive via --full-losses OR a config-file recon: node
         from reface_tpu.nn.lpips import LPIPS
 
         x0 = jnp.zeros((1, args.image_size, args.image_size, 3))

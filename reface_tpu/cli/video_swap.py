@@ -38,8 +38,10 @@ def main(argv=None):
     ap.add_argument("--bisenet-ckpt", default=None)
     args = ap.parse_args(argv)
     apply_backend(args)
-    if args.ddim_steps is None:
-        args.ddim_steps = 30  # video protocol default (inference_video_swap.sh)
+    if args.ddim_steps is None and not args.config and not args.overrides:
+        # video protocol default (inference_video_swap.sh); a config file
+        # keeps precedence over this implicit default
+        args.ddim_steps = 30
 
     import cv2
     import jax

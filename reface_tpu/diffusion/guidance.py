@@ -2,8 +2,10 @@
 
 Behavioral parity target (semantics, not code):
   /root/reference/ldm/models/diffusion/ddim_guided.py:380-609 — the
-  experimental guidance terms evaluated on the differentiably-decoded,
-  inpaint-region-masked pred_x0 image:
+  experimental guidance terms on the differentiably-decoded pred_x0 image
+  (the ID and 3DMM terms use the inpaint-region-MASKED decode,
+  ddim_guided.py:419-424; the segmentation term uses the full decode,
+  ddim_guided.py:434-437):
     - ID cosine loss vs the source through the ArcFace IDLoss protocol
       (active for 5 < t < 500; ddim_guided.py:545-549)
     - segmentation consistency: L1 between BiSeNet 19-class logit maps of

@@ -57,6 +57,35 @@ def test_resolve_swap_config_yaml_and_overrides(tmp_path):
     assert cfg.unet.model_channels == 64 and cfg.vae_tile == 4
 
 
+def test_resolve_swap_config_bare_fields_and_sections(tmp_path):
+    """Bare top-level SwapConfig fields, sectioned schemas, and mixed
+    bare-YAML + swap.* dotlists all resolve; train:/recon: sections are
+    ignored by the swap resolver."""
+    y = tmp_path / "bare.yaml"
+    y.write_text("ddim_steps: 30\ntrain:\n  learning_rate: 2.0e-5\n")
+    cfg = resolve_swap_config(_args(["--config", str(y)]))
+    assert cfg.ddim_steps == 30  # bare field applied, train: ignored
+
+    cfg = resolve_swap_config(
+        _args(["--config", str(y), "--overrides", "swap.cfg_scale=5.0"])
+    )
+    assert cfg.ddim_steps == 30 and cfg.cfg_scale == 5.0
+
+    # nested partial node overlays the INSTANCE, not class defaults
+    cfg = resolve_swap_config(
+        _args(["--tiny", "--overrides", "swap.unet.model_channels=8"])
+    )
+    assert cfg.unet.model_channels == 8
+    assert cfg.unet.channel_mult == (1, 2)  # tiny base preserved
+
+    # explicit steps honored under --tiny (no silent cap)
+    cfg = resolve_swap_config(_args(["--tiny", "--ddim-steps", "8"]))
+    assert cfg.ddim_steps == 8
+    # serving flags apply under --tiny too
+    cfg = resolve_swap_config(_args(["--tiny", "--attn", "einsum"]))
+    assert cfg.unet.attn_impl == "einsum"
+
+
 def test_apply_config_node_tuple_coercion():
     cfg = apply_config_node(SwapConfig(), {"ddim_steps": 10})
     assert cfg.ddim_steps == 10
