@@ -73,6 +73,21 @@ class GroupNorm32(nn.Module):
         return out.astype(orig_dtype)
 
 
+class _ProjKernel(nn.Module):
+    """Declares a bias-free Dense kernel (same scope/name/init as
+    nn.Dense(use_bias=False)) and returns it, so several projections can be
+    fused into one gemm without changing the checkpoint layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+
+
 def _attention(q, k, v, num_heads: int, impl: str = "auto"):
     """Multi-head attention over (B, N, H*D); specialized Pallas kernels on
     TPU (see ops/attention.py routing), fp32-softmax einsum otherwise."""
@@ -105,6 +120,19 @@ class CrossAttention(nn.Module):
             feat, use_bias=False, dtype=self.dtype, name=name
         )
         ctx = x if context is None else context
+        if context is None:
+            # self-attention: one fused (N, C) @ (C, 3*inner) gemm instead of
+            # three — identical math (each output column depends on exactly
+            # one weight column), same param tree (to_q/to_k/to_v kernels)
+            wq = _ProjKernel(inner, name="to_q")(ctx_dim)
+            wk = _ProjKernel(inner, name="to_k")(ctx_dim)
+            wv = _ProjKernel(inner, name="to_v")(ctx_dim)
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            qkv = jnp.dot(x.astype(self.dtype), w)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = _attention(q, k, v, self.heads, impl=self.attn_impl)
+            return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
         to_k = dense(inner, "to_k")
         to_v = dense(inner, "to_v")
 

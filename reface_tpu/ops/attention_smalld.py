@@ -26,6 +26,14 @@ import jax.numpy as jnp
 __all__ = ["self_attention_smalld"]
 
 _LOG2E = math.log2(math.e)
+_SHIFT_COLS = 256
+
+
+def _shift(s):
+    """Cheap softmax shift: row max over the first kv block (exact — softmax
+    is shift-invariant; headroom to overflow is ~2^120)."""
+    cols = min(_SHIFT_COLS, s.shape[1])
+    return jnp.max(s[:, :cols], axis=1, keepdims=True)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, fast: bool):
@@ -42,8 +50,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, fast: bool):
         p = jnp.exp2(s).astype(v.dtype)
     else:
         # bf16 probs = the fp32-softmax-then-cast numerics of the einsum
-        # reference path; exact mode keeps the row-max shift
-        p = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True)).astype(v.dtype)
+        # reference path. Softmax is shift-invariant, so ANY shift is exact;
+        # the max over one kv block bounds the true max within the logit
+        # spread (<< the fp32/bf16 exponent range) at 1/16 the VPU cost.
+        p = jnp.exp2(s - _shift(s)).astype(v.dtype)
     # row-sum folded into the PV gemm as a trailing ones-column
     ones = jnp.ones((v.shape[0], 1), v.dtype)
     vo = jnp.concatenate([v, ones], axis=1)  # (m, d+1)
@@ -73,8 +83,9 @@ def _kernel_tn(qt_ref, kt_ref, vo_ref, ot_ref, *, scale: float, fast: bool):
         p = jnp.exp2(s).astype(vo.dtype)
     else:
         # bf16 probs = the fp32-softmax-then-cast numerics of the einsum
-        # reference path; the row-max shift is kept in exact mode
-        p = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True)).astype(vo.dtype)
+        # reference path; exact mode uses the cheap one-block shift (see
+        # _shift — softmax is shift-invariant, so this is exact)
+        p = jnp.exp2(s - _shift(s)).astype(vo.dtype)
     # ot = vo^T @ p^T as dot_general contracting m on sublanes/lanes; the
     # trailing ones-column folds the row-sum into the same gemm
     ot = jax.lax.dot_general(
