@@ -34,6 +34,7 @@ __all__ = [
     "convert_vae",
     "convert_clip_conditioner",
     "convert_arcface",
+    "convert_lpips",
     "convert_reface_checkpoint",
     "load_torch_state_dict",
 ]
@@ -549,6 +550,69 @@ def convert_safety_checker(flax_tower_shapes: Any, torch_sd: StateDict) -> dict:
         "special_embeds": f32(torch_sd["special_care_embeds"]),
         "special_thresholds": f32(torch_sd["special_care_embeds_weights"]),
     }
+
+
+# ---------------------------------------------------------------- LPIPS
+
+# torchvision alexnet.features conv indices -> our tap index
+_ALEX_CONV_IDX = {0: 0, 3: 1, 6: 2, 8: 3, 10: 4}
+
+
+def _lpips_normalize_keys(sd: StateDict) -> dict[str, Array]:
+    """Normalize the three LPIPS weight layouts seen in the wild to one:
+
+      - a full module dump of the reference's LPIPS (eval_tool/lpips/lpips.py):
+        net.layers.{0,3,6,8,10}.{weight,bias} + lin.{i}.1.weight
+      - a raw torchvision AlexNet state dict: features.N.{weight,bias}
+      - the official LPIPS calibration file (pre/post get_state_dict rename,
+        eval_tool/lpips/utils.py:22-28): lin{i}.model.1.weight or {i}.1.weight
+    """
+    out: dict[str, Array] = {}
+    for k, v in sd.items():
+        kk = k
+        if kk.startswith("net."):
+            kk = kk[len("net."):]
+        if kk.startswith("layers."):
+            kk = "features." + kk[len("layers."):]
+        m = re.match(r"lin\.?(\d)\.(?:model\.)?1\.weight$", kk)
+        if m is None:
+            m = re.match(r"(\d)\.1\.weight$", kk)
+        if m:
+            kk = f"lin.{m.group(1)}.1.weight"
+        out[kk] = v
+    return out
+
+
+def _lpips_rule(path: tuple) -> tuple[str, Callable]:
+    p = list(path)
+    assert p[0] == "params"
+    p = p[1:]
+    leaf = p[-1]
+    top = p[0]
+    if top == "alex":
+        m = re.match(r"conv(\d)$", p[1])
+        tidx = {v: k for k, v in _ALEX_CONV_IDX.items()}[int(m.group(1))]
+        return (
+            f"features.{tidx}.{'weight' if leaf == 'kernel' else 'bias'}",
+            _leaf_xform(leaf, "conv"),
+        )
+    m = re.match(r"lin(\d)$", top)
+    if m:
+        return f"lin.{m.group(1)}.1.weight", _conv_kernel
+    raise ValueError(f"unmapped lpips path {'/'.join(path)}")
+
+
+def convert_lpips(flax_shapes: Any, torch_sd: StateDict) -> dict:
+    """Pretrained LPIPS(alex) -> nn/lpips.py params.
+
+    Parity: eval_tool/lpips/networks.py (torchvision AlexNet.features taps
+    after ReLUs 2/5/8/10/12) + the v0.1 'lin' 1x1 calibration weights
+    (utils.py:11-30), used as the training perceptual loss at
+    ddpm.py:634,1779-1797. Accepts a full LPIPS module dump, or a merged
+    dict of torchvision alexnet 'features.*' + official 'lin*' weights.
+    """
+    return _convert_by_rules(flax_shapes, _lpips_normalize_keys(torch_sd),
+                             _lpips_rule)
 
 
 # ---------------------------------------------------------- ResNet-50 evals

@@ -51,6 +51,11 @@ def main(argv=None):
                     help="generate swap samples every N steps (0 = off)")
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="0 = EMA off (shipped config)")
+    ap.add_argument("--lpips-ckpt", default=None,
+                    help="pretrained LPIPS(alex) torch checkpoint (full "
+                         "module dump, or torchvision alexnet merged with "
+                         "the official lin weights); without it the LPIPS "
+                         "term runs on RANDOM features")
     ap.add_argument("--landmark-ckpt", default=None,
                     help="LandmarkNet params: batched landmark conditioning "
                          "of the GT batch (ddpm.py:1206 get_landmarks parity)")
@@ -58,6 +63,13 @@ def main(argv=None):
                     help="native ERT model (.rert): exact dlib-parity host "
                          "landmarks for the GT batch")
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-process: coordinator host:port "
+                         "(jax.distributed; multi-node DDP role, "
+                         "main.py:23,511,521). On TPU pods, omit all three "
+                         "flags for auto-detection")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--config", nargs="*", default=[],
                     help="layered YAML config(s) with swap:/train: nodes "
                          "(main.py:504-506 parity)")
@@ -82,8 +94,18 @@ def main(argv=None):
     )
     from reface_tpu.diffusion.losses import ReconLossConfig
     from reface_tpu.parallel import create_mesh, shard_batch, shard_params
+    from reface_tpu.parallel.mesh import init_distributed
     from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
     from reface_tpu.pipelines.train import TrainConfig, make_train_step
+
+    proc_id, proc_count = init_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    is_main = proc_id == 0
+    if proc_count > 1:
+        print(f"[train] process {proc_id}/{proc_count}, "
+              f"{jax.local_device_count()} local / {jax.device_count()} "
+              f"global devices")
 
     mesh = create_mesh()
     n_dev = mesh.devices.size
@@ -119,7 +141,22 @@ def main(argv=None):
         from reface_tpu.nn.lpips import LPIPS
 
         x0 = jnp.zeros((1, args.image_size, args.image_size, 3))
-        params["lpips"] = LPIPS().init(jax.random.key(1), x0, x0)
+        if args.lpips_ckpt:
+            # pretrained AlexNet + lin calibration (ddpm.py:634,1779-1797)
+            from reface_tpu.ckpt.convert import (
+                convert_lpips,
+                load_torch_state_dict,
+            )
+
+            shapes = jax.eval_shape(LPIPS().init, jax.random.key(1), x0, x0)
+            params["lpips"] = convert_lpips(
+                shapes, load_torch_state_dict(args.lpips_ckpt)
+            )
+            print(f"[train] LPIPS weights loaded from {args.lpips_ckpt}")
+        else:
+            print("[train] WARNING: no --lpips-ckpt; the lpips_loss term "
+                  "uses RANDOM AlexNet features, not a perceptual loss")
+            params["lpips"] = LPIPS().init(jax.random.key(1), x0, x0)
     if recon is not None and recon.landmark_weight > 0:
         # landmark aux head on the UNet's 64x64 decoder taps
         # (LandmarkDetectionModel role, ddpm.py:163-177, 1691-1693)
@@ -222,7 +259,8 @@ def main(argv=None):
         return shard_batch(d, mesh)
 
     loader = PrefetchLoader(ds, batch_size=world_batch, shuffle=True,
-                            seed=args.seed, device_put=to_batch)
+                            seed=args.seed, device_put=to_batch,
+                            process_index=proc_id, process_count=proc_count)
 
     val_loader = None
     if args.val_every:
@@ -239,7 +277,9 @@ def main(argv=None):
                 eval_count=args.val_count, data_seed=args.seed,
             ))
         val_loader = PrefetchLoader(val_ds, batch_size=world_batch,
-                                    shuffle=False, device_put=to_batch)
+                                    shuffle=False, device_put=to_batch,
+                                    process_index=proc_id,
+                                    process_count=proc_count)
 
     os.makedirs(os.path.join(args.logdir, "checkpoints"), exist_ok=True)
     os.makedirs(os.path.join(args.logdir, "images"), exist_ok=True)
@@ -252,6 +292,8 @@ def main(argv=None):
         pass
 
     def checkpoint(tag):
+        if not is_main:  # rank-zero-only callbacks (main.py:280,337 parity)
+            return
         path = os.path.join(args.logdir, "checkpoints", tag)
         from reface_tpu.ckpt.io import save_train_state
 
@@ -288,21 +330,26 @@ def main(argv=None):
                     key, sub = jax.random.split(key)
                     state, metrics = jit_step(state, raw_batch, sub)
                     step += 1
-                    if step % args.log_every == 0:
+                    if step % args.log_every == 0 and is_main:
                         m = {k: float(v) for k, v in metrics.items()}
                         m.update(step=step, epoch=epoch,
                                  sps=step / (time.perf_counter() - t0))
                         with open(metrics_path, "a") as f:
                             f.write(json.dumps(m) + "\n")
                         print(f"[train] {m}")
-                    if step % args.image_log_every == 0:
+                    # image/sample logging reads the host batch — rank-zero
+                    # only, and per-process batches aren't host-complete on
+                    # multi-host, so it's single-process only
+                    if (step % args.image_log_every == 0 and is_main
+                            and proc_count == 1):
                         raw = jax.device_get(raw_batch)
                         save_grid_pm1(
                             os.path.join(args.logdir, "images",
                                          f"inputs_{step:08d}.png"),
                             [raw["target_image"][0], raw["inpaint_image"][0]],
                         )
-                    if args.sample_log_every and step % args.sample_log_every == 0:
+                    if (args.sample_log_every and proc_count == 1
+                            and step % args.sample_log_every == 0):
                         # ImageLogger parity: periodic swap samples with the
                         # current (EMA when enabled) weights, few DDIM steps
                         from reface_tpu.pipelines.swap import FaceSwapper
@@ -337,9 +384,10 @@ def main(argv=None):
                                 jit_loss(state.params, vb, jax.random.key(99))[0]
                             ))
                         vloss = float(np.mean(vlosses)) if vlosses else float("nan")
-                        with open(metrics_path, "a") as f:
-                            f.write(json.dumps({"step": step,
-                                                "val_loss": vloss}) + "\n")
+                        if is_main:
+                            with open(metrics_path, "a") as f:
+                                f.write(json.dumps({"step": step,
+                                                    "val_loss": vloss}) + "\n")
                         maybe_top_k(vloss, step)
                     if want_ckpt["now"]:
                         want_ckpt["now"] = False

@@ -52,8 +52,12 @@ class AlexNetFeatures(nn.Module):
 
 
 def _unit_normalize(f):
-    norm = jnp.sqrt(jnp.sum(f.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
-    return f / jnp.maximum(norm, 1e-10)
+    # exact eps semantics of the reference's normalize_activation
+    # (eval_tool/lpips/utils.py:6-8): x / (sqrt(sum x^2 + 1e-16) + 1e-10)
+    norm = jnp.sqrt(
+        jnp.sum(f.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-16
+    )
+    return f / (norm + 1e-10)
 
 
 class LPIPS(nn.Module):

@@ -98,6 +98,68 @@ def ref():
                 networks=networks)
 
 
+def test_lpips_whole_model_parity(ref):
+    """The reference's LPIPS(alex) classes (eval_tool/lpips/networks.py)
+    with random weights -> convert_lpips -> our flax LPIPS, exact forward
+    math of lpips.py:29-35 (z-score, taps, unit-normalize, lin, mean, sum)."""
+    from reface_tpu.ckpt.convert import convert_lpips
+    from reface_tpu.nn.lpips import LPIPS
+
+    tnn = torch.nn
+    # torchvision is not installed; build the documented alexnet.features
+    # stack and hand it to networks.AlexNet via the torchvision stub
+    features = tnn.Sequential(
+        tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(True), tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(64, 192, 5, 1, 2), tnn.ReLU(True), tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(192, 384, 3, 1, 1), tnn.ReLU(True),
+        tnn.Conv2d(384, 256, 3, 1, 1), tnn.ReLU(True),
+        tnn.Conv2d(256, 256, 3, 1, 1), tnn.ReLU(True), tnn.MaxPool2d(3, 2),
+    )
+    holder = types.SimpleNamespace(features=features)
+    _stub("torchvision.models", alexnet=lambda pretrained=False: holder)
+    _stub("torchvision", models=sys.modules["torchvision.models"])
+
+    from eval_tool.lpips import networks as lpips_networks
+
+    torch.manual_seed(3)
+    for p in features.parameters():
+        p.data.normal_(0, 0.1)
+    tnet = lpips_networks.AlexNet().eval()
+    tlin = lpips_networks.LinLayers(tnet.n_channels_list).eval()
+    for p in tlin.parameters():
+        p.data.uniform_(0, 0.2)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():  # lpips.py:29-35 forward math
+        fx, fy = tnet(_nchw(x)), tnet(_nchw(y))
+        diff = [(a - b) ** 2 for a, b in zip(fx, fy)]
+        res = [l(d).mean((2, 3), True) for d, l in zip(diff, tlin)]
+        out_t = (torch.sum(torch.cat(res, 0)) / x.shape[0]).item()
+
+    fm = LPIPS()
+    sd = {f"net.{k}": v.numpy() for k, v in tnet.state_dict().items()}
+    sd.update({f"lin.{k}": v.numpy() for k, v in tlin.state_dict().items()})
+    shapes = jax.eval_shape(fm.init, jax.random.key(0), jnp.asarray(x),
+                            jnp.asarray(y))
+    params = convert_lpips(shapes, sd)
+    out_f = float(np.mean(np.asarray(
+        fm.apply(params, jnp.asarray(x), jnp.asarray(y))
+    )))
+    np.testing.assert_allclose(out_f, out_t, atol=ATOL)
+
+    # the official calibration-file layout maps identically
+    sd2 = {k: v for k, v in sd.items() if not k.startswith("lin.")}
+    sd2.update({f"lin{i}.model.1.weight": tlin.state_dict()[f"{i}.1.weight"].numpy()
+                for i in range(5)})
+    params2 = convert_lpips(shapes, sd2)
+    chex = np.testing.assert_array_equal
+    chex(np.asarray(params2["params"]["lin0"]["kernel"]),
+         np.asarray(params["params"]["lin0"]["kernel"]))
+
+
 def test_bisenet_whole_model_parity(ref):
     from reface_tpu.ckpt.convert import convert_bisenet
     from reface_tpu.nn.bisenet import BiSeNet, BiSeNetConfig
