@@ -93,6 +93,11 @@ def main(argv=None):
 
     threading.Thread(target=reader, daemon=True).start()
 
+    # last-good-frame fallback state + per-frame inverse transforms
+    # (inference_swap_video.py:468-500 parity)
+    fallback_state = [None]
+    inv_transforms: list = []
+
     def flush(batch_frames):
         nonlocal key
         if not batch_frames:
@@ -104,9 +109,11 @@ def main(argv=None):
                 [arr, np.repeat(arr[-1:], args.frame_batch - n, axis=0)]
             )
         key, sub = jax.random.split(key)
-        out = pipe.swap_images(
-            jnp.asarray(arr), jnp.repeat(src01, arr.shape[0], axis=0), key=sub
+        out, fallback_state[0], quads = pipe.swap_images_robust(
+            jnp.asarray(arr), jnp.repeat(src01, arr.shape[0], axis=0),
+            key=sub, state=fallback_state[0],
         )
+        inv_transforms.extend(np.asarray(quads)[:n])
         out = np.asarray(out)[:n]
         for f in out:
             u8 = np.clip(f * 255.0, 0, 255).astype(np.uint8)
@@ -123,6 +130,9 @@ def main(argv=None):
         print(f"[video] {count} frames")
     cap.release()
     writer.release()
+    # persist per-frame paste-back transforms (inv_transforms.npy parity)
+    np.save(os.path.join(args.outdir, "inv_transforms.npy"),
+            np.asarray(inv_transforms))
 
     out_path = os.path.join(args.outdir, "swapped.mp4")
     ffmpeg = shutil.which("ffmpeg")

@@ -227,6 +227,75 @@ class RawSwapPipeline:
             lambda orig, crop, quad: paste_back(orig, crop, quad)
         )(target01, out_big, t_quads)
 
+    def face_presence(self, target01: jnp.ndarray,
+                      min_area_frac: float = 2e-3) -> jnp.ndarray:
+        """(B,H,W,3) -> (B,) bool: does the frame contain a face region of
+        at least min_area_frac of its area?
+
+        Stands in for dlib's "no detection" signal: the reference treats an
+        align/parse exception as detect failure and falls back
+        (inference_swap_video.py:468-496); our LandmarkNet is a regressor
+        that always answers, so the gate is the parsing-mask area instead.
+        """
+        b = target01.shape[0]
+        p = self.config.parse_size
+        small = jax.image.resize(target01, (b, p, p, 3), "bilinear")
+        seg = parse_faces(self.bisenet, self.bisenet_params, small,
+                          remap_lut=FACE_PARSING_TO_SEG12)
+        face = self.face_mask(seg)[..., 0]
+        return jnp.mean(face, axis=(1, 2)) >= min_area_frac
+
+    def swap_images_robust(
+        self,
+        target01: jnp.ndarray,  # (B,H,W,3) raw frames in [0,1]
+        source01: jnp.ndarray,  # (B,h,w,3) raw source(s) in [0,1]
+        key: Optional[jax.Array] = None,
+        state: Optional[tuple] = None,
+        min_area_frac: float = 2e-3,
+    ):
+        """swap_images with the reference's last-good-frame fallback.
+
+        Parity: inference_swap_video.py:468-500 — when detection fails on a
+        frame, the previous frame's crop/mask/transform are reused (the
+        output frame repeats the last good swap); per-frame inverse
+        transforms are returned for persistence (inv_transforms.npy role).
+        Frames before any successful detection pass through unswapped.
+
+        Returns (frames_out, new_state, quads); thread `state` through
+        successive batches of one video.
+        """
+        key = key if key is not None else jax.random.key(0)
+        b = target01.shape[0]
+        present = np.asarray(self.face_presence(target01, min_area_frac))
+        frames = np.asarray(target01, np.float32).copy()
+        lm = np.array(self.detect_landmarks(target01), np.float32)
+
+        last_frame, last_lm = state if state is not None else (None, None)
+        passthrough = []
+        for i in range(b):
+            if present[i]:
+                last_frame, last_lm = frames[i], lm[i]
+            elif last_frame is not None:
+                frames[i] = last_frame
+                lm[i] = last_lm
+            else:
+                passthrough.append(i)
+
+        frames_j = jnp.asarray(frames)
+        t_crop, t_quads = self.align(frames_j, jnp.asarray(lm))
+        ref224 = self._source_reference(source01)
+        out_big = self._swap_aligned(t_crop, ref224, key)
+        out = jax.vmap(
+            lambda orig, crop, quad: paste_back(orig, crop, quad)
+        )(frames_j, out_big, t_quads)
+        if passthrough:
+            out = np.array(out)  # writable host copy
+            for i in passthrough:
+                out[i] = np.asarray(target01[i])
+            out = jnp.asarray(out)
+        new_state = (last_frame, last_lm) if last_frame is not None else None
+        return out, new_state, np.asarray(t_quads)
+
     def swap_frame_multiface(
         self,
         frame01: np.ndarray,    # (H,W,3) one raw frame in [0,1]

@@ -92,3 +92,50 @@ def test_multiface_frame_swap():
     out = pipe.swap_frame_multiface(frame, src, key=jax.random.key(7))
     assert out.shape == frame.shape
     assert bool(jnp.isfinite(out).all())
+
+
+def test_video_fallback_reuses_last_good_frame():
+    """Detect-failure fallback (inference_swap_video.py:468-500): a no-face
+    frame reuses the previous frame's crop/landmarks/transform, so its
+    output equals the previous frame's output; frames before any detection
+    pass through unswapped; state carries across batches."""
+    swap_cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    sw = FaceSwapper(swap_cfg, FaceSwapper.init_params(swap_cfg, jax.random.key(0)))
+    pipe = RawSwapPipeline(sw, _tiny_raw_cfg())
+
+    # deterministic swap body (no sampler noise) so fallback outputs are
+    # bit-identical; presence pattern forced: [face, NO-face, face]
+    pipe._swap_aligned = lambda crop, ref, key: crop * 0.5
+    presence = np.array([True, False, True])
+    pipe.face_presence = lambda t, min_area_frac=2e-3: jnp.asarray(
+        presence[: t.shape[0]]
+    )
+
+    tgt = jax.random.uniform(jax.random.key(1), (3, 96, 96, 3))
+    src = jax.random.uniform(jax.random.key(2), (3, 80, 80, 3))
+    out, state, quads = pipe.swap_images_robust(tgt, src, key=jax.random.key(3))
+    out = np.asarray(out)
+    assert quads.shape == (3, 4, 2)
+    # frame 1 (no face) == frame 0's output, not its own swap
+    np.testing.assert_allclose(out[1], out[0], atol=1e-6)
+    assert np.abs(out[2] - out[0]).max() > 1e-4  # frame 2 is its own swap
+    assert state is not None
+
+    # state carries into the next batch: an all-failed batch repeats the
+    # last good frame's output
+    pipe.face_presence = lambda t, min_area_frac=2e-3: jnp.zeros(
+        (t.shape[0],), bool
+    )
+    tgt2 = jax.random.uniform(jax.random.key(4), (2, 96, 96, 3))
+    out2, state2, _ = pipe.swap_images_robust(
+        tgt2, src[:2], key=jax.random.key(5), state=state
+    )
+    np.testing.assert_allclose(np.asarray(out2[0]), out[2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2[1]), out[2], atol=1e-6)
+
+    # no prior state + no detection ever -> passthrough
+    out3, state3, _ = pipe.swap_images_robust(
+        tgt2, src[:2], key=jax.random.key(6), state=None
+    )
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(tgt2), atol=1e-6)
+    assert state3 is None
