@@ -63,6 +63,17 @@ def main(argv=None):
                          "central face-shaped ellipse")
     ap.add_argument("--head-swap", action="store_true",
                     help="universal head swap: include hair/accessories")
+    ap.add_argument("--guidance", default=None,
+                    help="comma list of gradient-guidance terms: id,seg,exp "
+                         "(ddim_guided.py:380-609 semantics)")
+    ap.add_argument("--guidance-scale", type=float, default=1.0)
+    ap.add_argument("--id-guidance-weight", type=float, default=1.0)
+    ap.add_argument("--seg-guidance-weight", type=float, default=10.0,
+                    help="seg-L1 over classes 1,11,12,13 (ddim_guided:434-456)")
+    ap.add_argument("--exp-guidance-weight", type=float, default=100.0,
+                    help="3DMM expression cosine (ddim_guided:460-508)")
+    ap.add_argument("--d3dfr-ckpt", default=None,
+                    help="D3DFR coeff net for --guidance exp")
     args = ap.parse_args(argv)
     apply_backend(args)
 
@@ -74,6 +85,94 @@ def main(argv=None):
 
     swapper = build_swapper(args)
     size = swapper.config.image_size
+
+    if args.guidance:
+        # route every swap through the gradient-guided sampler; the raw
+        # pipeline and the precropped loop below both call swapper.swap
+        import functools
+
+        terms = tuple(t.strip() for t in args.guidance.split(",") if t.strip())
+        bad = set(terms) - {"id", "seg", "exp"}
+        if bad:
+            raise SystemExit(f"unknown --guidance terms: {sorted(bad)}")
+        seg_fn = exp_fn = None
+        if "seg" in terms:
+            from reface_tpu.nn.bisenet import (
+                SEG_MEAN,
+                SEG_STD,
+                BiSeNet,
+                BiSeNetConfig,
+            )
+
+            bcfg = BiSeNetConfig(dtype=jnp.float32)
+            bise = BiSeNet(bcfg)
+            if args.bisenet_ckpt:
+                from reface_tpu.ckpt.convert import (
+                    convert_bisenet,
+                    load_torch_state_dict,
+                )
+
+                shapes = jax.eval_shape(
+                    bise.init, jax.random.key(0), jnp.zeros((1, 64, 64, 3))
+                )
+                bparams = convert_bisenet(
+                    jax.tree.map(lambda s: np.zeros(s.shape, np.float32),
+                                 shapes),
+                    load_torch_state_dict(args.bisenet_ckpt),
+                )
+            else:
+                print("[swap] WARNING: --guidance seg with random BiSeNet "
+                      "(no --bisenet-ckpt)")
+                bparams = bise.init(jax.random.key(0),
+                                    jnp.zeros((1, 64, 64, 3)))
+
+            def seg_fn(img_pm1):
+                # 19-class logits at 256px (ddim_guided.py:434-456)
+                b = img_pm1.shape[0]
+                x01 = jax.image.resize(
+                    (img_pm1 + 1.0) / 2.0, (b, 256, 256, 3), "bilinear"
+                )
+                return bise.apply(bparams, (x01 - SEG_MEAN) / SEG_STD)
+
+        if "exp" in terms:
+            from reface_tpu.eval.backbones import FaceReconCoeffNet
+
+            net = FaceReconCoeffNet()
+            if args.d3dfr_ckpt:
+                from reface_tpu.ckpt.convert import (
+                    convert_facerecon,
+                    load_torch_state_dict,
+                )
+
+                shapes = jax.eval_shape(
+                    net.init, jax.random.key(0), jnp.zeros((1, 224, 224, 3))
+                )
+                nparams = convert_facerecon(
+                    jax.tree.map(lambda s: np.zeros(s.shape, np.float32),
+                                 shapes),
+                    load_torch_state_dict(args.d3dfr_ckpt),
+                    prefix="net_recon.backbone.",
+                )
+            else:
+                print("[swap] WARNING: --guidance exp with random D3DFR "
+                      "(no --d3dfr-ckpt)")
+                nparams = net.init(jax.random.key(0),
+                                   jnp.zeros((1, 224, 224, 3)))
+
+            def exp_fn(img01):
+                b = img01.shape[0]
+                x = jax.image.resize(img01, (b, 224, 224, 3), "bilinear")
+                return net.apply(nparams, x)[:, 80:144]
+
+        swapper.swap = functools.partial(
+            swapper.swap_guided, guidance=terms,
+            guidance_scale=args.guidance_scale,
+            id_weight=args.id_guidance_weight,
+            seg_weight=args.seg_guidance_weight,
+            exp_weight=args.exp_guidance_weight,
+            seg_logits_fn=seg_fn, exp_coeff_fn=exp_fn,
+        )
+
     targets = _list_images(args.target)
     sources = _list_images(args.source)
     key = jax.random.key(args.seed)

@@ -223,6 +223,112 @@ class FaceSwapper(SwapModules):
             ref_clip224, landmarks, key, x_T, prior_image,
         )
 
+    def swap_guided(
+        self,
+        target_image,
+        inpaint_image,
+        inpaint_mask,
+        ref_clip224,
+        landmarks=None,
+        key=None,
+        guidance: tuple = ("id",),
+        guidance_scale: float = 1.0,
+        id_weight: float = 1.0,
+        seg_weight: float = 10.0,
+        exp_weight: float = 100.0,
+        seg_logits_fn=None,
+        exp_coeff_fn=None,
+    ):
+        """Gradient-guided swap (ddim_guided.py:380-609 semantics).
+
+        guidance: subset of ("id", "seg", "exp"). "seg"/"exp" require
+        seg_logits_fn ([-1,1] image -> (B,H,W,19) BiSeNet logits) resp.
+        exp_coeff_fn ([0,1] image -> (B,64) D3DFR exp coeffs) — the driver
+        wires these from its towers. "id" uses the swapper's own ArcFace
+        via the IDLoss pool/crop protocol (ddpm.py:112-124).
+        """
+        from reface_tpu.diffusion.ddim_guided import guided_ddim_sample
+        from reface_tpu.diffusion.guidance import (
+            combine_guidance,
+            make_expression_guidance,
+            make_id_guidance,
+            make_seg_guidance,
+        )
+        from reface_tpu.nn.arcface import CLIP_MEAN, CLIP_STD
+        from reface_tpu.ops.pooling import adaptive_avg_pool2d
+        from reface_tpu.ops.resize import resize_bilinear_no_aa
+
+        if key is None:
+            key = jax.random.key(0)
+        cfg = self.config
+        params = self.params
+
+        def impl(params, target_image, inpaint_image, inpaint_mask,
+                 ref_clip224, landmarks, key):
+            k_noise, k_enc = jax.random.split(key)
+            c, uc = self.build_context(
+                params, ref_clip224, target_image, landmarks
+            )
+            z_inpaint = self.encode_latent(
+                params, inpaint_image, k_enc if cfg.sample_posterior else None
+            )
+            b = target_image.shape[0]
+            hw = cfg.latent_size
+            mask_latent = resize_bilinear_no_aa(inpaint_mask, hw, hw)
+            x_T = jax.random.normal(k_noise, (b, hw, hw, 4), jnp.float32)
+
+            decode_fn = lambda z: self.decode_latent(params, z)
+            inpaint_region = 1.0 - inpaint_mask  # 1 = generated region
+
+            def embed_id_fn(img_pm1):
+                from reface_tpu.nn.arcface import ARC_FACE_CROP
+
+                x = adaptive_avg_pool2d(img_pm1, 256, 256)
+                tc, bc, lc, rc = ARC_FACE_CROP
+                x = adaptive_avg_pool2d(x[:, tc:bc, lc:rc, :], 112, 112)
+                return self.conditioner.apply(
+                    params["conditioner"], method=lambda m, xx: m.face_id(xx),
+                    xx=x,
+                )
+
+            fns = []
+            if "id" in guidance:
+                src_pm1 = (ref_clip224 * CLIP_STD + CLIP_MEAN) * 2.0 - 1.0
+                fns.append(make_id_guidance(
+                    decode_fn, embed_id_fn, src_pm1,
+                    inpaint_region=inpaint_region, weight=id_weight,
+                ))
+            if "seg" in guidance:
+                fns.append(make_seg_guidance(
+                    decode_fn, seg_logits_fn, target_image, weight=seg_weight,
+                ))
+            if "exp" in guidance:
+                fns.append(make_expression_guidance(
+                    decode_fn, exp_coeff_fn, target_image,
+                    inpaint_region=inpaint_region, weight=exp_weight,
+                ))
+
+            z = guided_ddim_sample(
+                partial(self.unet_eps, params),
+                combine_guidance(*fns),
+                x_T, c, uc, z_inpaint, mask_latent, self.tables,
+                cfg_scale=cfg.cfg_scale, guidance_scale=guidance_scale,
+            )
+            return self.decode_latent(params, z)
+
+        cache_key = (tuple(sorted(guidance)), guidance_scale, id_weight,
+                     seg_weight, exp_weight, id(seg_logits_fn),
+                     id(exp_coeff_fn))
+        cache = getattr(self, "_guided_cache", None)
+        if cache is None:
+            cache = self._guided_cache = {}
+        if cache_key not in cache:
+            cache[cache_key] = jax.jit(impl)
+        return cache[cache_key](
+            params, target_image, inpaint_image, inpaint_mask, ref_clip224,
+            landmarks, key,
+        )
+
     # ---- init helpers ----
 
     @staticmethod

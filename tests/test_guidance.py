@@ -94,3 +94,60 @@ def test_combined_guidance_in_sampler():
                               None, rest, mask, tabs, cfg_scale=1.0,
                               guidance_scale=0.0)
     assert float(jnp.abs(out - base).max()) > 1e-6
+
+
+def test_swap_guided_end_to_end_and_cli():
+    """FaceSwapper.swap_guided (the driver-reachable path, VERDICT weak #8):
+    id+seg+exp guidance runs tiny end-to-end and alters the output; the
+    cli/swap.py --guidance flag drives it."""
+    import numpy as np
+    import jax
+
+    from reface_tpu.pipelines.swap import FaceSwapper, tiny_swap_config
+
+    cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    sw = FaceSwapper(cfg, FaceSwapper.init_params(cfg, jax.random.key(0)))
+    rng = np.random.default_rng(0)
+    tgt = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+    mask = jnp.ones((1, 64, 64, 1), jnp.float32).at[:, 16:48, 16:48].set(0.0)
+    ref = jnp.asarray(rng.normal(size=(1, 224, 224, 3)), jnp.float32)
+
+    kw = dict(target_image=tgt, inpaint_image=tgt * mask, inpaint_mask=mask,
+              ref_clip224=ref, key=jax.random.key(1))
+    out_g = sw.swap_guided(
+        **kw, guidance=("id", "seg", "exp"),
+        seg_logits_fn=lambda im: _fake_seg(im[..., :1] if False else im),
+        exp_coeff_fn=lambda im: _fake_coeffs(im),
+    )
+    assert out_g.shape == (1, 64, 64, 3)
+    assert bool(jnp.isfinite(out_g).all())
+    out_plain = sw.swap(**kw)
+    assert float(jnp.abs(out_g - out_plain).max()) > 1e-6
+
+
+def test_cli_swap_guidance_flag(tmp_path):
+    import numpy as np
+
+    try:
+        import cv2
+    except ImportError:
+        import pytest
+
+        pytest.skip("cv2 absent")
+    rng = np.random.default_rng(1)
+    tdir = tmp_path / "t"
+    sdir = tmp_path / "s"
+    odir = tmp_path / "o"
+    tdir.mkdir()
+    sdir.mkdir()
+    cv2.imwrite(str(tdir / "a.png"),
+                rng.integers(0, 255, (64, 64, 3), np.uint8))
+    cv2.imwrite(str(sdir / "b.png"),
+                rng.integers(0, 255, (64, 64, 3), np.uint8))
+
+    from reface_tpu.cli.swap import main
+
+    main(["--target", str(tdir), "--source", str(sdir), "--outdir",
+          str(odir), "--tiny", "--backend", "cpu", "--precropped",
+          "--guidance", "id", "--guidance-scale", "0.5"])
+    assert (odir / "b_a.png").exists()
