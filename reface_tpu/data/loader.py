@@ -10,12 +10,27 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Sequence
 
 import numpy as np
 
 __all__ = ["PrefetchLoader", "collate"]
+
+# process-worker plumbing: the dataset is shipped once per worker via the
+# pool initializer (the reference's num_workers=2*bs DataLoader *processes*,
+# main.py:190-265 — cv2/PIL decode holds the GIL, so threads can starve the
+# chip at real batch sizes; see tools/bench_loader.py for measurements)
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_getitem(i):
+    return _WORKER_DATASET[int(i)]
 
 
 def collate(items: Sequence[dict]) -> dict:
@@ -42,7 +57,20 @@ class PrefetchLoader:
         prefetch: int = 4,
         drop_last: bool = True,
         device_put=None,
+        process_index: int = 0,
+        process_count: int = 1,
+        worker_mode: str = "thread",  # "thread" | "process"
     ):
+        """batch_size is the GLOBAL batch. With process_count > 1 (multi-host,
+        after parallel.init_distributed) every process iterates the SAME
+        shuffled order but loads only its batch_size/process_count slice of
+        each batch (the DistributedSampler role, main.py:190-265 + DDP);
+        shard_batch then assembles the slices into global arrays."""
+        if batch_size % max(process_count, 1):
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{process_count} processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,7 +79,13 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.device_put = device_put
+        self.process_index = process_index
+        self.process_count = process_count
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode {worker_mode!r}")
+        self.worker_mode = worker_mode
         self._epoch = 0
+        self._pool = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -65,8 +99,11 @@ class PrefetchLoader:
             )
             rng.shuffle(idx)
         nb = len(self)
+        local = self.batch_size // self.process_count
+        lo = self.process_index * local
         for b in range(nb):
-            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+            batch = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield batch[lo : lo + local]
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
@@ -74,15 +111,31 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            try:
+                if self.worker_mode == "process":
+                    # persistent pool: fork/ship the dataset once, reuse
+                    # across epochs (DataLoader persistent_workers role)
+                    if self._pool is None:
+                        self._pool = ProcessPoolExecutor(
+                            self.num_workers, initializer=_init_worker,
+                            initargs=(self.dataset,),
+                        )
+                    get = _worker_getitem
+                    pool = self._pool
+                else:
+                    pool = ThreadPoolExecutor(self.num_workers)
+                    get = self.dataset.__getitem__
                 try:
                     for batch_idx in self._batch_indices():
                         if stop.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        items = list(pool.map(get, batch_idx))
                         q.put(collate(items))
                 finally:
-                    q.put(None)
+                    if self.worker_mode != "process":
+                        pool.shutdown(wait=False)
+            finally:
+                q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -94,3 +147,9 @@ class PrefetchLoader:
                 yield self.device_put(batch) if self.device_put else batch
         finally:
             stop.set()
+
+    def close(self):
+        """Shut down a persistent process pool (no-op for threads)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
