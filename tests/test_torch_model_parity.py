@@ -86,6 +86,17 @@ def _sd(model):
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
 
 
+def _dezero(tm):
+    """The reference zero-inits ResBlock/transformer/out projections
+    (zero_module, openaimodel.py:229,344,835) — with random init the whole
+    forward is exactly 0, which would make output parity VACUOUS. Replace
+    all-zero weights with small random values so the comparison is real."""
+    with torch.no_grad():
+        for p in tm.parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+
+
 def test_unet_whole_model_parity(ref):
     """Shipped UNet architecture (configs/train.yaml:31-47) at reduced width:
     9->4 channels, mult (1,2,4,4), attn at ds {1,2,4}, 8 heads, ctx 768."""
@@ -100,6 +111,7 @@ def test_unet_whole_model_parity(ref):
         transformer_depth=1, context_dim=768, use_checkpoint=False,
         legacy=False, add_conv_in_front_of_unet=False,
     ).eval()
+    _dezero(tm)
 
     cfg = UNetConfig(model_channels=64, num_heads=8, channel_mult=(1, 2, 4, 4),
                      attention_resolutions=(4, 2, 1), dtype=F32)
@@ -126,6 +138,53 @@ def test_unet_whole_model_parity(ref):
                  jnp.asarray(ctx))
     )
     np.testing.assert_allclose(out_f, out_t, atol=ATOL)
+
+
+def test_unet_fullwidth_parity(ref):
+    """FULL-WIDTH (model_channels=320, configs/train.yaml:31-47) conversion
+    check (VERDICT r2 missing #7): every converter rule exercised at the
+    real 859,535,364-param width, whole-model activation agreement vs the
+    reference torch UNet. Spatial size is 16x16 (fully-convolutional, so
+    width-coverage is identical to 64x64 at ~1/16 the FLOPs)."""
+    from reface_tpu.ckpt.convert import convert_unet
+    from reface_tpu.nn.unet import UNetConfig, UNetModel
+
+    torch.manual_seed(4)
+    tm = ref["TorchUNet"](
+        image_size=64, in_channels=9, out_channels=4, model_channels=320,
+        attention_resolutions=[4, 2, 1], num_res_blocks=2,
+        channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=768, use_checkpoint=False,
+        legacy=False, add_conv_in_front_of_unet=False,
+    ).eval()
+    assert sum(p.numel() for p in tm.parameters()) == 859_535_364
+    _dezero(tm)
+
+    fm = UNetModel(UNetConfig(dtype=F32))  # shipped full-size config
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 16, 16, 9)).astype(np.float32)
+    t = np.array([617], np.int64)
+    ctx = rng.normal(size=(1, 1, 768)).astype(np.float32)
+
+    shapes = jax.eval_shape(
+        fm.init, jax.random.key(0), jnp.asarray(x),
+        jnp.asarray(t, jnp.int32), jnp.asarray(ctx),
+    )
+    params = convert_unet(_to_jax_shapes(shapes), _sd(tm))
+
+    with torch.no_grad():
+        out_t = tm(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            timesteps=torch.from_numpy(t),
+            context=torch.from_numpy(ctx),
+        ).numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(
+        fm.apply(params, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+                 jnp.asarray(ctx))
+    )
+    # wider accumulations (1280-ch mid) than the reduced-width test
+    np.testing.assert_allclose(out_f, out_t, atol=2e-3)
+    assert float(np.corrcoef(out_f.ravel(), out_t.ravel())[0, 1]) > 0.99999
 
 
 def test_vae_whole_model_parity(ref):
