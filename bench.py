@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--cfg-steps", type=int, default=0,
                     help="serving mode: CFG only on the first N steps "
                          "(0 = reference protocol)")
+    ap.add_argument("--cfg-scale", type=float, default=3.0,
+                    help="guidance scale; 1.0 = no CFG (single conditional "
+                         "forward per step — the guidance-folded distilled-"
+                         "student serving mode, cli/distill.py)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--pipeline", type=int, default=0,
                     help="EXPERIMENTAL overlapped-dispatch mode. NOT trusted "
@@ -69,6 +73,7 @@ def main():
     else:
         cfg = SwapConfig(
             ddim_steps=args.steps, cfg_steps=args.cfg_steps,
+            cfg_scale=args.cfg_scale,
             unet=UNetConfig(attn_impl=args.attn),
         )
         batch = args.batch or 4
@@ -136,6 +141,8 @@ def main():
 
     swaps_per_sec = batch / best
     variant = f"_cfg{args.cfg_steps}" if args.cfg_steps else ""
+    if args.cfg_scale == 1.0:
+        variant += "_nocfg"  # guidance-folded student schedule
     if args.pipeline:
         variant += "_pipelined"
     result = {
