@@ -102,7 +102,19 @@ def tps_warp_mask_np(
     full = np.zeros((grid_n, grid_n, 2))
     full[1:-1, 1:-1] = noise
     warped = ctrl + full.reshape(-1, 2)
-    grid = _tps_grid_np(ctrl, warped, h, w)
+    # the C++ grid builder is ~50x faster than the numpy dense evaluation
+    # at 512^2 (same math, cross-tested in tests/test_native.py; the TPS
+    # grid dominated the per-item cost — tools/bench_loader.py)
+    try:
+        from reface_tpu import native_ops as _rn
+
+        if _rn.available():
+            grid = _rn.tps_grid(ctrl.astype(np.float32),
+                                warped.astype(np.float32), h, w)
+        else:
+            grid = _tps_grid_np(ctrl, warped, h, w)
+    except Exception:
+        grid = _tps_grid_np(ctrl, warped, h, w)
     # torch grid_sample align_corners=False convention
     map_x = ((grid[..., 0] + 1) * w - 1) / 2
     map_y = ((grid[..., 1] + 1) * h - 1) / 2
