@@ -78,6 +78,7 @@ def ddim_sample(
     temperature: float = 1.0,
     key: Optional[jax.Array] = None,
     cfg_steps: Optional[int] = None,
+    dedup_model_fn: Optional[ModelFn] = None,
 ) -> jnp.ndarray:
     """Run the full reverse DDIM chain; returns the final 4-ch latent.
 
@@ -92,6 +93,10 @@ def ddim_sample(
         conditional forward afterwards (guidance-interval truncation,
         Kynkäänniemi et al. 2024). None/>=S = exact reference protocol
         (CFG every step, ddim.py:338-346). Compiles as two static scans.
+      dedup_model_fn: exact CFG prefix dedup — (x9 at B, t at B, ctx at 2B)
+        -> eps at 2B (uncond half first), computing the context-independent
+        prefix once (UNetModel cfg_expand). Same math as cfg_eps's
+        batch-doubling, ~10% less compute; used when CFG is active.
     """
     use_cfg = uncond_context is not None and cfg_scale != 1.0
     b = x_T.shape[0]
@@ -129,7 +134,11 @@ def ddim_sample(
             (t, a_t, a_prev, s1m, sig), k = scan_in
             x9 = jnp.concatenate([x, rest], axis=-1)
             tb = jnp.full((b,), t, jnp.int32)
-            if with_cfg:
+            if with_cfg and dedup_model_fn is not None:
+                eps2 = dedup_model_fn(x9, tb, ctx)
+                e_uncond, e_cond = eps2[:b], eps2[b:]
+                eps = e_uncond + cfg_scale * (e_cond - e_uncond)
+            elif with_cfg:
                 eps = cfg_eps(model_fn, x9, tb, ctx, cfg_scale)
             else:
                 eps = model_fn(x9, tb, context)

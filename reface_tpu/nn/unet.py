@@ -100,13 +100,20 @@ class TransformerBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, expand_cfg: bool = False):
+        """expand_cfg: x is the shared CFG half-batch (B); context is 2B.
+        The self-attention runs once on B and the batch doubles just before
+        the cross-attention — the first context-dependent op (exact CFG
+        prefix dedup; both halves of cfg_eps's duplicated input are
+        identical until here, ddim.py:338-346)."""
         d = self.channels // self.num_heads
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(
             self.channels, heads=self.num_heads, dim_head=d, dtype=self.dtype,
             attn_impl=self.attn_impl, name="attn1",
         )(h)
+        if expand_cfg:
+            x = jnp.concatenate([x, x], axis=0)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(
             self.channels,
@@ -129,7 +136,7 @@ class SpatialTransformer(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, expand_cfg: bool = False):
         b, hh, ww, c = x.shape
         h = GroupNorm32(epsilon=1e-6, name="norm")(x)
         h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(h)
@@ -142,8 +149,8 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"block_{i}",
-            )(h, context)
-        h = h.reshape(b, hh, ww, self.channels)
+            )(h, context, expand_cfg=expand_cfg and i == 0)
+        h = h.reshape(-1, hh, ww, self.channels)
         h = nn.Conv(
             self.channels,
             (1, 1),
@@ -151,6 +158,8 @@ class SpatialTransformer(nn.Module):
             dtype=self.dtype,
             name="proj_out",
         )(h)
+        if expand_cfg:
+            x = jnp.concatenate([x, x], axis=0)
         return x + h
 
 
@@ -183,8 +192,18 @@ class UNetModel(nn.Module):
     config: UNetConfig = UNetConfig()
 
     @nn.compact
-    def __call__(self, x, timesteps, context, return_features: bool = False):
-        """x: (B, H, W, 9) latent stack; timesteps: (B,); context: (B, T, 768)."""
+    def __call__(self, x, timesteps, context, return_features: bool = False,
+                 cfg_expand: bool = False):
+        """x: (B, H, W, 9) latent stack; timesteps: (B,); context: (B, T, 768).
+
+        cfg_expand: exact CFG prefix dedup — x/timesteps are ONE half-batch
+        (B) while context is the CFG pair (2B, uncond first). cfg_eps
+        duplicates an identical x9 for both halves (ddim.py:338-346), so
+        every op before the first cross-attention computes the same values
+        twice; here the stem, the first ResBlock and the first
+        self-attention run once at B and the batch doubles at the first
+        context read. Returns eps at 2B. Same params, same math.
+        """
         cfg = self.config
         dt = cfg.dtype
         res_block_cls = nn.remat(ResBlock) if cfg.remat else ResBlock
@@ -215,6 +234,8 @@ class UNetModel(nn.Module):
                 name=name,
             )
 
+        expanded = not cfg_expand  # False = still running the shared half
+
         # ---- encoder ----
         h = nn.Conv(
             cfg.model_channels, (3, 3), padding=1, dtype=dt, name="input_blocks_0_0"
@@ -228,7 +249,13 @@ class UNetModel(nn.Module):
                 ch = mult * cfg.model_channels
                 h = res_block(ch, dtype=dt, name=f"input_blocks_{block_idx}_0")(h, emb)
                 if ds in cfg.attention_resolutions:
-                    h = attn_layer(ch, f"input_blocks_{block_idx}_1")(h, context)
+                    layer = attn_layer(ch, f"input_blocks_{block_idx}_1")
+                    if not expanded:
+                        h = layer(h, context, expand_cfg=True)
+                        expanded = True
+                        emb = jnp.concatenate([emb, emb], axis=0)
+                    else:
+                        h = layer(h, context)
                 hs.append(h)
                 block_idx += 1
             if level != len(cfg.channel_mult) - 1:
@@ -236,6 +263,10 @@ class UNetModel(nn.Module):
                 hs.append(h)
                 block_idx += 1
                 ds *= 2
+        if not expanded:  # no attention layer reached (degenerate config)
+            h = jnp.concatenate([h, h], axis=0)
+            emb = jnp.concatenate([emb, emb], axis=0)
+            expanded = True
 
         # ---- middle ----
         h = res_block(ch, dtype=dt, name="middle_block_0")(h, emb)
@@ -248,6 +279,9 @@ class UNetModel(nn.Module):
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
+                if skip.shape[0] != h.shape[0]:
+                    # skip saved before the CFG expansion point (shared half)
+                    skip = jnp.concatenate([skip, skip], axis=0)
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = mult * cfg.model_channels
                 h = res_block(ch, dtype=dt, name=f"output_blocks_{block_idx}_0")(

@@ -68,6 +68,10 @@ class SwapConfig:
     # decode and is multiplied by the VAE downsample factor for encode.
     vae_tile: int = 0
     vae_tile_stride: int = 0  # 0 = vae_tile // 2
+    # exact CFG prefix dedup: compute the context-independent UNet prefix
+    # once per CFG pair (UNetModel cfg_expand). Identical math to the
+    # batch-doubled cfg_eps; ~10% less UNet compute.
+    cfg_dedup: bool = True
 
 
 class SwapModules:
@@ -138,6 +142,12 @@ class SwapModules:
     def unet_eps(self, params, x9, t, context):
         return self.unet.apply(params["unet"], x9, t, context)
 
+    def unet_eps_cfg_dedup(self, params, x9, t, context_pair):
+        """x9/t at B, context_pair at 2B (uncond first) -> eps at 2B."""
+        return self.unet.apply(
+            params["unet"], x9, t, context_pair, cfg_expand=True
+        )
+
 
 class FaceSwapper(SwapModules):
     """SwapModules + params + sampler tables, exposing one jitted `swap`.
@@ -201,6 +211,10 @@ class FaceSwapper(SwapModules):
                 cfg.cfg_scale, eta=cfg.eta,
                 key=k_noise if cfg.eta != 0 else None,
                 cfg_steps=cfg.cfg_steps or None,
+                dedup_model_fn=(
+                    partial(self.unet_eps_cfg_dedup, params)
+                    if cfg.cfg_dedup else None
+                ),
             )
         return self.decode_latent(params, z)
 

@@ -144,3 +144,71 @@ def test_conditioner_fusion_weights(keys):
 
     null = m.apply(p, 3, method=REFaceConditioner.null_conditioning)
     assert null.shape == (3, 1, 768)
+
+
+def test_unet_cfg_expand_matches_batch_doubling(keys):
+    """Exact CFG prefix dedup: cfg_expand on the half-batch must equal the
+    plain forward on the duplicated batch with the paired contexts
+    (cfg_eps's x9-doubling, ddim.py:338-346). Zero-init projections are
+    randomized so the comparison is non-vacuous."""
+    cfg = UNetConfig(
+        model_channels=32,
+        num_heads=4,
+        channel_mult=(1, 2),
+        attention_resolutions=(1, 2),
+        dtype=F32,
+    )
+    m = UNetModel(cfg)
+    x = jax.random.normal(keys[3], (2, 16, 16, 9))
+    t = jnp.array([615, 77])
+    c = jax.random.normal(keys[4], (2, 1, 768))
+    uc = jax.random.normal(keys[5], (2, 1, 768))
+    p = m.init(keys[6], x, t, ctx := jnp.concatenate([uc, c], axis=0)[:2])
+    # randomize the zero-init out/proj convs (non-vacuous outputs)
+    p = jax.tree.map(
+        lambda a: jax.random.normal(keys[7], a.shape, a.dtype) * 0.02
+        if a.ndim >= 2 and float(jnp.abs(a).sum()) == 0.0 else a,
+        p,
+    )
+
+    ctx_pair = jnp.concatenate([uc, c], axis=0)
+    ref = m.apply(
+        p, jnp.concatenate([x, x], axis=0), jnp.concatenate([t, t], axis=0),
+        ctx_pair,
+    )
+    dedup = m.apply(p, x, t, ctx_pair, cfg_expand=True)
+    assert dedup.shape == ref.shape == (4, 16, 16, 4)
+    assert float(jnp.abs(ref).max()) > 1e-6
+    np.testing.assert_allclose(np.asarray(dedup), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ddim_sample_dedup_matches_cfg_eps():
+    """ddim_sample with dedup_model_fn == plain CFG batch-doubling."""
+    from reface_tpu.core.schedules import DDIMTables, DiffusionSchedule
+    from reface_tpu.diffusion.ddim import ddim_sample
+
+    sched = DiffusionSchedule.create()
+    tabs = DDIMTables.create(sched, 4)
+    rng = np.random.default_rng(0)
+    x_T = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), F32)
+    z_inp = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), F32)
+    mask = jnp.ones((2, 8, 8, 1), F32)
+    c = jnp.asarray(rng.normal(size=(2, 1, 8)), F32)
+    uc = jnp.zeros_like(c)
+    w = jnp.asarray(rng.normal(size=(9, 4)) * 0.2, F32)
+    wc = jnp.asarray(rng.normal(size=(8, 4)) * 0.2, F32)
+
+    def model_fn(x9, t, ctx):
+        return jnp.tanh(x9 @ w) + jnp.mean(ctx @ wc, axis=1)[:, None, None, :]
+
+    def dedup_fn(x9, t, ctx_pair):
+        x2 = jnp.concatenate([x9, x9], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        return model_fn(x2, t2, ctx_pair)
+
+    ref = ddim_sample(model_fn, x_T, c, uc, z_inp, mask, tabs, cfg_scale=3.0)
+    out = ddim_sample(model_fn, x_T, c, uc, z_inp, mask, tabs, cfg_scale=3.0,
+                      dedup_model_fn=dedup_fn)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

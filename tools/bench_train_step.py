@@ -1,0 +1,130 @@
+"""Real-size training-step reality check on the chip (VERDICT r2 item #6).
+
+Measures ms/step + HBM for the 512px train step on the real device:
+  - eps-only (loss_simple, the dryrun path)
+  - --full-losses: k-step DDIM recon + ID + multi-scale LPIPS
+    (p_losses_face, ddpm.py:1679-1837) with UNet remat
+Reference protocol: batch 1/GPU, AdamW, configs/train.yaml:2,99,143-148.
+
+  python tools/bench_train_step.py [--batch 1] [--full-losses] [--no-remat]
+      [--steps 3] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--image-size", type=int, default=512)
+    ap.add_argument("--full-losses", action="store_true")
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args()
+    if args.backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from reface_tpu.diffusion.losses import ReconLossConfig
+    from reface_tpu.nn.unet import UNetConfig
+    from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
+    from reface_tpu.pipelines.train import TrainConfig, make_train_step
+
+    remat = not args.no_remat
+    if args.tiny:
+        swap_cfg = tiny_swap_config(image_size=args.image_size or 64)
+    else:
+        swap_cfg = SwapConfig(
+            image_size=args.image_size,
+            unet=UNetConfig(remat=remat, attn_impl="flash"),
+        )
+    recon = ReconLossConfig() if args.full_losses else None
+
+    params = FaceSwapper.init_params(swap_cfg, jax.random.key(0))
+    if recon is not None and recon.lpips_weight > 0:
+        from reface_tpu.nn.lpips import LPIPS
+
+        x0 = jnp.zeros((1, swap_cfg.image_size, swap_cfg.image_size, 3))
+        params["lpips"] = LPIPS().init(jax.random.key(1), x0, x0)
+
+    step_fn, loss_fn, init_state = make_train_step(
+        swap_cfg, TrainConfig(), recon=recon
+    )
+    state = init_state(params)
+    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    s = swap_cfg.image_size
+    b = args.batch
+    ks = jax.random.split(jax.random.key(2), 4)
+    batch = dict(
+        target_image=jax.random.uniform(ks[0], (b, s, s, 3), minval=-1, maxval=1),
+        inpaint_image=jax.random.uniform(ks[1], (b, s, s, 3), minval=-1, maxval=1),
+        inpaint_mask=(jax.random.uniform(ks[2], (b, s, s, 1)) > 0.5).astype(
+            jnp.float32
+        ),
+        ref_clip224=jax.random.normal(ks[3], (b, 224, 224, 3)),
+    )
+
+    mode = "full" if args.full_losses else "eps"
+    print(f"[bench_train_step] compiling {mode} step (batch {b}, {s}px, "
+          f"remat={remat}) ...")
+    t0 = time.perf_counter()
+    try:
+        state, metrics = jit_step(state, batch, jax.random.key(3))
+        first = {k: float(v) for k, v in metrics.items()}
+    except Exception as e:
+        print(json.dumps({"mode": mode, "batch": b, "error": str(e)[:400]}))
+        raise SystemExit(1)
+    print(f"[bench_train_step] first step (incl. compile) "
+          f"{time.perf_counter() - t0:.1f}s, metrics={first}")
+
+    times = []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        state, metrics = jit_step(state, batch, jax.random.key(4 + i))
+        # scalar readback is the only reliable sync over the axon tunnel
+        _ = float(metrics[list(metrics)[0]])
+        times.append(time.perf_counter() - t0)
+
+    dev = jax.local_devices()[0]
+    stats = {}
+    try:
+        ms = dev.memory_stats() or {}
+        stats = {
+            "hbm_peak_gb": round(ms.get("peak_bytes_in_use", 0) / 2**30, 2),
+            "hbm_in_use_gb": round(ms.get("bytes_in_use", 0) / 2**30, 2),
+            "hbm_limit_gb": round(ms.get("bytes_limit", 0) / 2**30, 2),
+        }
+    except Exception:
+        pass
+    out = {
+        "mode": mode, "batch": b, "image_size": s, "remat": remat,
+        "ms_per_step": round(min(times) * 1e3, 1),
+        "steps_per_s": round(1.0 / min(times), 3),
+        "times_s": [round(t, 3) for t in times],
+        **stats,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
