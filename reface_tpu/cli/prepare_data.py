@@ -145,6 +145,116 @@ def crop_and_mask(dataset_dir: str, out_dir: str, start: int, count: int,
         print(f"[crop-and-mask] {min(i + batch, len(ids))}/{len(ids)}")
 
 
+def make_priors(target_dir: str, source_dir: str, mask_dir: str,
+                out_dir: str, method: str = "tps", grid: int = 128,
+                size: int = 512, tiny: bool = False,
+                ckpt: str | None = None,
+                landmark_ckpt: str | None = None) -> None:
+    """make_priors.py parity: prior images for Start_from_target.
+
+    Pairs the i-th (sorted) target with the i-th source (the reference
+    pairs tar_start+i with src_start+i over pre-cropped Val_target/Val
+    dirs, make_priors.py:33-52). The target mask (white = face) matches
+    the target basename in mask_dir.
+
+    method=dift: argmax-cosine correspondence over the swap UNet's own
+    diffusion features at t=261 (the reference's DIFT mechanism);
+    method=tps: 68-landmark TPS warp (classical equivalent).
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
+    from reface_tpu.preprocess.priors import (
+        dift_prior,
+        landmark_tps_prior,
+        make_unet_feats_fn,
+    )
+
+    def listing(d):
+        out = []
+        for ext in ("*.png", "*.jpg", "*.jpeg"):
+            out += glob.glob(os.path.join(d, ext))
+        return sorted(out)
+
+    targets, sources = listing(target_dir), listing(source_dir)
+    n = min(len(targets), len(sources))
+    if n == 0:
+        raise SystemExit("no image pairs found")
+
+    cfg = tiny_swap_config(image_size=size) if tiny else SwapConfig(image_size=size)
+    if ckpt:
+        from reface_tpu.ckpt.io import load_params
+
+        shapes = jax.eval_shape(
+            lambda k: FaceSwapper.init_params(cfg, k), jax.random.key(0)
+        )
+        params = load_params(
+            ckpt, jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+        )
+    else:
+        params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    swapper = FaceSwapper(cfg, params)
+
+    feats_fn = None
+    landmark_fn = None
+    if method == "dift":
+        feats_fn = make_unet_feats_fn(swapper, params)
+    else:
+        from reface_tpu.nn.landmarks import LandmarkNet, LandmarkNetConfig
+
+        lm_cfg = LandmarkNetConfig() if not tiny else LandmarkNetConfig(
+            widths=(8, 16, 32, 32), input_size=64, dtype=jnp.float32
+        )
+        net = LandmarkNet(lm_cfg)
+        if landmark_ckpt:
+            from reface_tpu.ckpt.io import load_params as _lp
+
+            lm_params = _lp(landmark_ckpt)
+        else:
+            lm_params = net.init(
+                jax.random.key(1),
+                jnp.zeros((1, lm_cfg.input_size, lm_cfg.input_size, 3)),
+            )
+
+        def landmark_fn(img01):
+            s = lm_cfg.input_size
+            x = jax.image.resize(img01[None], (1, s, s, 3), "bilinear") * 2 - 1
+            lm = net.apply(lm_params, x).reshape(68, 2)
+            return lm * (img01.shape[0] / s)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n):
+        t_im = cv2.cvtColor(cv2.imread(targets[i]), cv2.COLOR_BGR2RGB)
+        s_im = cv2.cvtColor(cv2.imread(sources[i]), cv2.COLOR_BGR2RGB)
+        if t_im.shape[0] != size:
+            t_im = cv2.resize(t_im, (size, size))
+        if s_im.shape[0] != size:
+            s_im = cv2.resize(s_im, (size, size))
+        mp = os.path.join(mask_dir, os.path.basename(targets[i]))
+        mp = mp if os.path.exists(mp) else os.path.splitext(mp)[0] + ".png"
+        m = cv2.imread(mp, cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            raise SystemExit(f"mask not found for {targets[i]}")
+        if m.shape[0] != size:
+            m = cv2.resize(m, (size, size), interpolation=cv2.INTER_NEAREST)
+        mask = jnp.asarray((m > 127).astype(np.float32))[..., None]
+        tgt = jnp.asarray(t_im.astype(np.float32) / 127.5 - 1.0)
+        src = jnp.asarray(s_im.astype(np.float32) / 127.5 - 1.0)
+        if method == "dift":
+            prior = dift_prior(tgt, src, mask, feats_fn, grid=grid)
+        else:
+            t_lm = landmark_fn(jnp.asarray(t_im, jnp.float32) / 255.0)
+            s_lm = landmark_fn(jnp.asarray(s_im, jnp.float32) / 255.0)
+            prior = landmark_tps_prior(tgt, src, t_lm, s_lm, mask)
+        u8 = np.clip((np.asarray(prior) + 1) * 127.5, 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(out_dir, os.path.basename(targets[i])),
+                    cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
+        if (i + 1) % 10 == 0 or i == n - 1:
+            print(f"[make-priors:{method}] {i + 1}/{n}")
+
+
 def expand_sd_checkpoint(src: str, dst: str) -> None:
     """modify_checkpoints.py parity: 4->9 channel conv_in zero-pad."""
     import torch
@@ -175,6 +285,19 @@ def main(argv=None):
     x = sub.add_parser("expand-sd-checkpoint")
     x.add_argument("--src", required=True)
     x.add_argument("--dst", required=True)
+    p = sub.add_parser("make-priors")
+    p.add_argument("--target-dir", required=True)
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--mask-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--method", default="tps", choices=["tps", "dift"])
+    p.add_argument("--grid", type=int, default=128)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--ckpt", default=None,
+                   help="swap params dir (dift features / none = random)")
+    p.add_argument("--landmark-ckpt", default=None)
+    p.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     c = sub.add_parser("crop-and-mask")
     c.add_argument("--dataset-dir", required=True)
     c.add_argument("--out-dir", required=True)
@@ -196,6 +319,13 @@ def main(argv=None):
                             args.allow_random)
     elif args.cmd == "expand-sd-checkpoint":
         expand_sd_checkpoint(args.src, args.dst)
+    elif args.cmd == "make-priors":
+        from reface_tpu.cli.common import apply_backend
+
+        apply_backend(args)
+        make_priors(args.target_dir, args.source_dir, args.mask_dir,
+                    args.out_dir, args.method, args.grid, args.size,
+                    args.tiny, args.ckpt, args.landmark_ckpt)
     elif args.cmd == "crop-and-mask":
         from reface_tpu.cli.common import apply_backend
 

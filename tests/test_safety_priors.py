@@ -150,3 +150,81 @@ def test_landmark_tps_prior_identity_when_landmarks_match():
     np.testing.assert_allclose(
         np.asarray(out[:4, :4]), np.asarray(tgt[:4, :4]), atol=1e-6
     )
+
+
+def test_dift_prior_recovers_known_correspondence():
+    """With one-hot cell features where the source is the horizontally
+    flipped target, argmax-cosine must map each target cell to its flipped
+    source cell, so the composite reproduces the target inside the mask
+    (make_priors.py:103-151 semantics)."""
+    from reface_tpu.preprocess.priors import dift_prior
+
+    g, blk = 8, 4
+    h = w = g * blk
+    rng = np.random.default_rng(1)
+    block_colors = rng.uniform(-1, 1, (g, g, 3)).astype(np.float32)
+    tgt = np.repeat(np.repeat(block_colors, blk, 0), blk, 1)
+    src = tgt[:, ::-1].copy()  # horizontal flip
+
+    eye = np.eye(g * g, dtype=np.float32).reshape(g, g, g * g)
+
+    def feats_fn(img):
+        flipped = bool(np.allclose(np.asarray(img), src))
+        return jnp.asarray(eye[:, ::-1] if flipped else eye)
+
+    mask = jnp.zeros((h, w, 1)).at[:, :].set(1.0)
+    out = dift_prior(jnp.asarray(tgt), jnp.asarray(src), mask, feats_fn, grid=g)
+    np.testing.assert_allclose(np.asarray(out), tgt, atol=1e-5)
+
+
+def test_dift_prior_unet_features_end_to_end():
+    """make_unet_feats_fn over a tiny swapper: features have the expected
+    latent/4 tap shape and the composite is finite + mask-consistent."""
+    from reface_tpu.pipelines.swap import FaceSwapper, tiny_swap_config
+    from reface_tpu.preprocess.priors import dift_prior, make_unet_feats_fn
+
+    cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    sw = FaceSwapper(cfg, FaceSwapper.init_params(cfg, jax.random.key(0)))
+    feats_fn = make_unet_feats_fn(sw, sw.params, ensemble=2)
+
+    rng = np.random.default_rng(2)
+    tgt = jnp.asarray(rng.uniform(-1, 1, (64, 64, 3)), jnp.float32)
+    src = jnp.asarray(rng.uniform(-1, 1, (64, 64, 3)), jnp.float32)
+    f = feats_fn(tgt)
+    # the tiny 2-level UNet has no latent/4 decoder tap; the deepest tap is
+    # the fallback (the full config has the 16^2 = latent/4 DIFT analog)
+    assert f.ndim == 3 and 1 <= f.shape[0] <= cfg.latent_size
+
+    mask = jnp.zeros((64, 64, 1)).at[16:48, 16:48].set(1.0)
+    out = dift_prior(tgt, src, mask, feats_fn, grid=8)
+    assert out.shape == (64, 64, 3)
+    assert bool(jnp.isfinite(out).all())
+    # untouched outside the mask
+    np.testing.assert_allclose(np.asarray(out[:8, :8]), np.asarray(tgt[:8, :8]),
+                               atol=1e-6)
+
+
+def test_make_priors_cli_both_methods(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(3)
+    for d in ("t", "s", "m"):
+        (tmp_path / d).mkdir()
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / "t" / f"{i}.png"),
+                    rng.integers(0, 255, (64, 64, 3), np.uint8))
+        cv2.imwrite(str(tmp_path / "s" / f"{i}.png"),
+                    rng.integers(0, 255, (64, 64, 3), np.uint8))
+        m = np.zeros((64, 64), np.uint8)
+        m[16:48, 16:48] = 255
+        cv2.imwrite(str(tmp_path / "m" / f"{i}.png"), m)
+
+    from reface_tpu.cli.prepare_data import main
+
+    for method in ("tps", "dift"):
+        out = tmp_path / f"o_{method}"
+        main(["make-priors", "--target-dir", str(tmp_path / "t"),
+              "--source-dir", str(tmp_path / "s"), "--mask-dir",
+              str(tmp_path / "m"), "--out-dir", str(out), "--method", method,
+              "--tiny", "--size", "64", "--grid", "8", "--backend", "cpu"])
+        assert (out / "0.png").exists() and (out / "1.png").exists()
