@@ -76,7 +76,9 @@ def main():
             cfg_scale=args.cfg_scale,
             unet=UNetConfig(attn_impl=args.attn),
         )
-        batch = args.batch or 4
+        # batch 8 is the measured knee of the exact protocol (1.59 swaps/s vs
+        # 1.49 at batch 4; batch 16 spills — BENCH_LOG.md round-3 A/B table).
+        batch = args.batch or 8
 
     key = jax.random.key(0)
     params = FaceSwapper.init_params(cfg, key)
