@@ -194,10 +194,16 @@ def reface_losses(
         unet_fn, z_noisy, rest, recon_cond, schedule, k=cfg.ddim_steps,
         t_new=t_new,
     )
-    decodes = [decode_fn(p) for p in pred_latents]
+    # The three collected latents run the decoder/ID/LPIPS towers as ONE
+    # stacked batch instead of three separate subgraphs: mathematically
+    # identical (all towers are per-sample: GroupNorm/LayerNorm/eval-mode
+    # BatchNorm), ~3x less HLO (the separate-instance program crashed the
+    # TPU compile helper at 512px), and better MXU utilization.
+    n_dec = len(pred_latents)
+    decode_all = decode_fn(jnp.concatenate(pred_latents, axis=0))  # (nB,S,S,3)
 
     # ---- 3. ID loss on inpaint-region-masked decodes vs flipped reference
-    s = decodes[0].shape[1]
+    s = decode_all.shape[1]
     keep_mask = rest[..., -1:]  # latent-res keep mask (1=keep)
     mask_img = 1.0 - jax.image.resize(keep_mask, (keep_mask.shape[0], s, s, 1),
                                       "bilinear")
@@ -206,21 +212,29 @@ def reface_losses(
     std = jnp.asarray(CLIP_STD_NP)
     ref_pm1 = (ref_flip * std + mean) * 2.0 - 1.0
 
-    id_losses = []
-    for d in decodes:
-        id_losses.append(id_cosine_loss(embed_id_fn, d * mask_img, ref_pm1))
-    id_loss = jnp.mean(jnp.stack(id_losses))
+    f_pred = embed_id_fn(decode_all * jnp.tile(mask_img, (n_dec, 1, 1, 1)))
+    f_ref = jax.lax.stop_gradient(embed_id_fn(ref_pm1))  # embed ref ONCE
+    # mean over n_dec*B == mean over decodes of per-decode means (equal sizes)
+    id_loss = jnp.mean(1.0 - jnp.sum(f_pred * jnp.tile(f_ref, (n_dec, 1)),
+                                     axis=-1))
     metrics["id_loss"] = id_loss
     total = total + cfg.id_weight * id_loss
 
     # ---- 4. LPIPS multi-scale vs GT over all decodes
     if lpips_fn is not None and cfg.lpips_weight > 0:
         lp = 0.0
-        for d in decodes:
-            for f in cfg.lpips_scales:
-                lp = lp + jnp.mean(
-                    lpips_fn(avg_pool_to(d, s // f), avg_pool_to(gt_image, s // f))
-                )
+        for f in cfg.lpips_scales:
+            if s // f < 32:
+                # below ~32px AlexNet's stride-4 conv + maxpools collapse to
+                # zero-size maps (NaN); only reachable in tiny test configs —
+                # the 512px protocol scales (512/256/128) are all >= 32
+                continue
+            gt_f = avg_pool_to(gt_image, s // f)
+            # sum over decodes of mean == n_dec * mean over the stacked batch
+            lp = lp + n_dec * jnp.mean(
+                lpips_fn(avg_pool_to(decode_all, s // f),
+                         jnp.tile(gt_f, (n_dec, 1, 1, 1)))
+            )
         metrics["lpips_loss"] = lp
         total = total + cfg.lpips_weight * lp
 
