@@ -73,6 +73,20 @@ def trainable_labels(params: dict[str, Any]):
     return jax.tree_util.tree_map_with_path(lambda p, _: label_path(p), params)
 
 
+def stop_gradient_frozen(params):
+    """stop_gradient on every 'freeze'-labeled leaf — the reference's
+    requires_grad=False. Without this, value_and_grad over the full tree
+    builds gradients AND the backward weight-grad computations for the
+    frozen VAE/CLIP/ArcFace/LPIPS towers, only for the optimizer mask to
+    zero them; at 512px full losses that wasted backward graph alone
+    overflows v5e HBM (RESOURCE_EXHAUSTED, BENCH_LOG.md round 3)."""
+    labels = trainable_labels(params)
+    return jax.tree.map(
+        lambda p, l: jax.lax.stop_gradient(p) if l == "freeze" else p,
+        params, labels,
+    )
+
+
 def make_optimizer(cfg: TrainConfig, params):
     sched = optax.linear_schedule(
         init_value=cfg.learning_rate * 1e-6,
@@ -135,10 +149,12 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
     tx_holder = {}
 
     def loss_fn(params, batch, key):
+        params = stop_gradient_frozen(params)
         kt, kn, ke1, ke2, kd = jax.random.split(key, 5)
         b = batch["target_image"].shape[0]
 
-        # --- conditioning (towers frozen; stop_gradient enforced by optimizer mask)
+        # --- conditioning (frozen towers stop_gradient'd above; the
+        # optimizer mask additionally zeroes any residual updates)
         c, uc = swapper_model.build_context(
             params, batch["ref_clip224"], batch["target_image"],
             batch.get("landmarks"),

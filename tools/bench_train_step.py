@@ -29,6 +29,15 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--backend", default=None)
+    # compile-bisection knobs (the 512px full-loss program crashed the
+    # remote TPU compile helper; these isolate the breaking component)
+    ap.add_argument("--attn", default="flash",
+                    choices=["flash", "einsum"])
+    ap.add_argument("--id-weight", type=float, default=None)
+    ap.add_argument("--lpips-weight", type=float, default=None)
+    ap.add_argument("--recon-steps", type=int, default=None)
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="compile/run loss_fn only (no grad, no update)")
     args = ap.parse_args()
     if args.backend == "cpu":
         import jax
@@ -55,9 +64,20 @@ def main():
     else:
         swap_cfg = SwapConfig(
             image_size=args.image_size,
-            unet=UNetConfig(remat=remat, attn_impl="flash"),
+            unet=UNetConfig(remat=remat, attn_impl=args.attn),
         )
-    recon = ReconLossConfig() if args.full_losses else None
+    recon = None
+    if args.full_losses:
+        import dataclasses
+
+        kw = {}
+        if args.id_weight is not None:
+            kw["id_weight"] = args.id_weight
+        if args.lpips_weight is not None:
+            kw["lpips_weight"] = args.lpips_weight
+        if args.recon_steps is not None:
+            kw["ddim_steps"] = args.recon_steps
+        recon = dataclasses.replace(ReconLossConfig(), **kw)
 
     params = FaceSwapper.init_params(swap_cfg, jax.random.key(0))
     if recon is not None and recon.lpips_weight > 0:
@@ -70,7 +90,14 @@ def main():
         swap_cfg, TrainConfig(), recon=recon
     )
     state = init_state(params)
-    jit_step = jax.jit(step_fn, donate_argnums=(0,))
+    if args.fwd_only:
+        def fwd_step(state, batch, key):
+            _, metrics = loss_fn(state.params, batch, key)
+            return state, metrics
+
+        jit_step = jax.jit(fwd_step)
+    else:
+        jit_step = jax.jit(step_fn, donate_argnums=(0,))
 
     s = swap_cfg.image_size
     b = args.batch
@@ -85,6 +112,17 @@ def main():
     )
 
     mode = "full" if args.full_losses else "eps"
+    if args.full_losses:
+        if args.lpips_weight == 0:
+            mode += "-nolpips"
+        if args.id_weight == 0:
+            mode += "-noid"
+        if args.recon_steps is not None:
+            mode += f"-k{args.recon_steps}"
+    if args.attn != "flash":
+        mode += f"-{args.attn}"
+    if args.fwd_only:
+        mode += "-fwdonly"
     print(f"[bench_train_step] compiling {mode} step (batch {b}, {s}px, "
           f"remat={remat}) ...")
     t0 = time.perf_counter()
