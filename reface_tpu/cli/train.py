@@ -38,6 +38,11 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--full-losses", action="store_true",
                     help="enable DDIM-recon ID/LPIPS losses")
+    ap.add_argument("--split-grad", action="store_true",
+                    help="compile the full loss as two programs (recon-grad "
+                         "+ eps-grad/update); exact numerics, required at "
+                         "512px on the real chip where the monolithic "
+                         "backward exceeds the compiler's program limit")
     ap.add_argument("--ckpt-every", type=int, default=10000)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--image-log-every", type=int, default=500)
@@ -120,7 +125,7 @@ def main(argv=None):
     )
     train_cfg = TrainConfig(
         learning_rate=lr, warmup_steps=args.warmup_steps,
-        ema_decay=args.ema_decay or None,
+        ema_decay=args.ema_decay or None, split_grad=args.split_grad,
     )
     recon = ReconLossConfig() if args.full_losses else None
     if args.config or args.overrides:
@@ -184,7 +189,10 @@ def main(argv=None):
     step_fn, loss_fn, init_state = make_train_step(swap_cfg, train_cfg, recon=recon)
     jit_loss = jax.jit(loss_fn)
     state = init_state(shard_params(params, mesh))
-    jit_step = jax.jit(step_fn)
+    # split-grad steps are already two jitted programs; re-jitting would
+    # trace through and re-fuse them into the too-big monolith
+    jit_step = (step_fn if getattr(step_fn, "precompiled", False)
+                else jax.jit(step_fn))
 
     resume_step = 0
     if args.resume:

@@ -143,41 +143,54 @@ def reface_losses(
     landmarks: jnp.ndarray | None,
     t: jnp.ndarray,  # (B,) int
     key: jax.Array,
+    portion: str = "both",  # "both" | "eps" | "recon" (split-grad programs)
 ):
-    """Returns (total_loss, metrics dict). All stages share one jit."""
+    """Returns (total_loss, metrics dict). All stages share one jit.
+
+    portion selects which additive term of the loss is built — the
+    split-grad train step (pipelines/train.py) compiles "eps" and "recon"
+    as separate TPU programs and sums their gradients, which is exact
+    because the total is a sum of the two portions over identical inputs
+    (same key -> same noise/t/dropout in both programs).
+    """
     from reface_tpu.data.augment import CLIP_MEAN_NP, CLIP_STD_NP
 
     z4 = z_start9[..., :4]
     rest = z_start9[..., 4:]
     noise = jax.random.normal(key, z4.shape, z4.dtype)
+    metrics = {}
+    total = 0.0
 
     # ---- 1. eps-MSE (+ optional landmark aux head on the same forward)
-    z_t = schedule.q_sample(z4, t, noise)
-    x9 = jnp.concatenate([z_t, rest], axis=-1)
-    use_lm_head = (
-        cfg.landmark_weight > 0
-        and unet_features_fn is not None
-        and landmark_head_fn is not None
-        and landmarks is not None
-    )
-    if use_lm_head:
-        eps_pred, features = unet_features_fn(x9, t, cond)
-        # ref: cat(features[9:11]) — the two 64x64 320-ch decoder taps of
-        # the full UNet (ddpm.py:1691); clamp for reduced test configs
-        i0 = min(9, len(features) - 2)
-        feat_cat = jnp.concatenate([features[i0], features[i0 + 1]], axis=-1)
-        lm_pred = landmark_head_fn(feat_cat)
-        loss_landmark = jnp.mean((lm_pred - landmarks) ** 2)
-    else:
-        eps_pred = unet_fn(x9, t, cond)
-    loss_simple = jnp.mean((noise - eps_pred) ** 2)
-    metrics = {"loss_simple": loss_simple}
-    total = loss_simple
-    if use_lm_head:
-        metrics["loss_landmark"] = loss_landmark
-        total = total + cfg.landmark_weight * loss_landmark
+    if portion in ("both", "eps"):
+        z_t = schedule.q_sample(z4, t, noise)
+        x9 = jnp.concatenate([z_t, rest], axis=-1)
+        use_lm_head = (
+            cfg.landmark_weight > 0
+            and unet_features_fn is not None
+            and landmark_head_fn is not None
+            and landmarks is not None
+        )
+        if use_lm_head:
+            eps_pred, features = unet_features_fn(x9, t, cond)
+            # ref: cat(features[9:11]) — the two 64x64 320-ch decoder taps of
+            # the full UNet (ddpm.py:1691); clamp for reduced test configs
+            i0 = min(9, len(features) - 2)
+            feat_cat = jnp.concatenate(
+                [features[i0], features[i0 + 1]], axis=-1
+            )
+            lm_pred = landmark_head_fn(feat_cat)
+            loss_landmark = jnp.mean((lm_pred - landmarks) ** 2)
+        else:
+            eps_pred = unet_fn(x9, t, cond)
+        loss_simple = jnp.mean((noise - eps_pred) ** 2)
+        metrics["loss_simple"] = loss_simple
+        total = total + loss_simple
+        if use_lm_head:
+            metrics["loss_landmark"] = loss_landmark
+            total = total + cfg.landmark_weight * loss_landmark
 
-    if cfg.id_weight <= 0 and cfg.lpips_weight <= 0:
+    if portion == "eps" or (cfg.id_weight <= 0 and cfg.lpips_weight <= 0):
         return total, metrics
 
     # ---- 2. reconstruction chain from t_new = T-1 with the SAME noise

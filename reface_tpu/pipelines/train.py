@@ -52,6 +52,12 @@ class TrainConfig:
     grad_clip: Optional[float] = None
     ema_decay: Optional[float] = None  # shipped config: use_ema False
     accumulate: int = 1  # Lightning accumulate_grad_batches equivalent
+    # Compile the full loss as TWO programs (recon-grad, then eps-grad +
+    # grad-sum + update) instead of one monolith. Numerically exact
+    # (gradients of sums are sums of gradients over identical inputs);
+    # needed on the real chip where the single-program full-loss backward
+    # exceeds the TPU compiler's program-size limit (BENCH_LOG.md round 3).
+    split_grad: bool = False
 
 
 def trainable_labels(params: dict[str, Any]):
@@ -148,7 +154,7 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
     schedule = DiffusionSchedule.create(timesteps=train_cfg.num_timesteps)
     tx_holder = {}
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, portion="both"):
         params = stop_gradient_frozen(params)
         kt, kn, ke1, ke2, kd = jax.random.split(key, 5)
         b = batch["target_image"].shape[0]
@@ -248,12 +254,10 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             landmarks=batch.get("landmarks"),
             t=t,
             key=kn,
+            portion=portion,
         )
 
-    def train_step(state: TrainState, batch, key):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key
-        )
+    def apply_grads(state: TrainState, grads, loss, metrics):
         updates, new_opt = tx_holder["tx"].update(
             grads, state.opt_state, state.params
         )
@@ -267,6 +271,48 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             TrainState(new_params, new_opt, state.step + 1, new_ema),
             {**metrics, "loss": loss},
         )
+
+    def train_step(state: TrainState, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key
+        )
+        return apply_grads(state, grads, loss, metrics)
+
+    split = (train_cfg.split_grad and recon is not None
+             and (recon.id_weight > 0 or recon.lpips_weight > 0))
+    if split:
+        # Two-program split: the monolithic full-loss backward (eps UNet
+        # bwd + k-step recon scan bwd + decode/ID/LPIPS tower bwds) exceeds
+        # the TPU compiler's program-size limit at 512px. Each half stays
+        # within it. Exact: loss = L_eps + L_recon over identical inputs
+        # (same key -> same t/noise/dropout), so grads sum leaf-wise.
+        recon_grad = jax.jit(
+            lambda params, batch, key: jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch, key, portion="recon")
+        )
+
+        def _eps_and_update(state, batch, key, loss_r, metrics_r, grads_r):
+            (loss_e, metrics_e), grads_e = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, key, portion="eps")
+            grads = jax.tree.map(jnp.add, grads_e, grads_r)
+            return apply_grads(
+                state, grads, loss_e + loss_r, {**metrics_r, **metrics_e}
+            )
+
+        # donate the old state (params/opt buffers reused in-place) and the
+        # recon-grad accumulator — on a 16G v5e the full step doesn't fit
+        # without both
+        eps_update = jax.jit(_eps_and_update, donate_argnums=(0, 5))
+
+        def train_step(state: TrainState, batch, key):
+            (loss_r, metrics_r), grads_r = recon_grad(state.params, batch, key)
+            return eps_update(state, batch, key, loss_r, metrics_r, grads_r)
+
+        # callers must NOT wrap this in jax.jit — tracing through would
+        # re-fuse both programs into the monolith the split exists to avoid
+        train_step.precompiled = True
 
     def init_state(params):
         tx = make_optimizer(train_cfg, params)

@@ -251,3 +251,43 @@ def test_train_step_full_losses():
     new_state, metrics = jax.jit(step)(state, batch, jax.random.key(2))
     for k in ("loss_simple", "id_loss", "lpips_loss", "loss"):
         assert k in metrics and np.isfinite(float(metrics[k])), k
+
+
+def test_split_grad_step_matches_monolith():
+    """split_grad=True (two programs: recon-grad, then eps-grad+sum+update)
+    must produce the SAME post-step state as the monolithic step — gradients
+    of sums are sums of gradients over identical inputs."""
+    from reface_tpu.nn.lpips import LPIPS
+
+    cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    recon = ReconLossConfig(ddim_steps=2, lpips_scales=(1,))
+    params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    params["lpips"] = LPIPS().init(jax.random.key(1), x, x)
+    batch = _batch(2, 64)
+    key = jax.random.key(7)
+
+    step_m, _, init_m = make_train_step(
+        cfg, TrainConfig(warmup_steps=5), recon=recon
+    )
+    assert not getattr(step_m, "precompiled", False)
+    state_m = init_m(params)
+    new_m, met_m = jax.jit(step_m)(state_m, batch, key)
+
+    step_s, _, init_s = make_train_step(
+        cfg, TrainConfig(warmup_steps=5, split_grad=True), recon=recon
+    )
+    assert getattr(step_s, "precompiled", False)  # callers must not re-jit
+    state_s = init_s(params)
+    new_s, met_s = step_s(state_s, batch, key)
+
+    assert set(met_m) == set(met_s)
+    for k in met_m:
+        np.testing.assert_allclose(
+            float(met_m[k]), float(met_s[k]), rtol=2e-5, atol=1e-6, err_msg=k
+        )
+    flat_m = jax.tree.leaves(new_m.params["unet"])
+    flat_s = jax.tree.leaves(new_s.params["unet"])
+    for a, b in zip(flat_m, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--recon-steps", type=int, default=None)
     ap.add_argument("--fwd-only", action="store_true",
                     help="compile/run loss_fn only (no grad, no update)")
+    ap.add_argument("--split-grad", action="store_true",
+                    help="two-program split (recon-grad + eps-grad/update)")
     args = ap.parse_args()
     if args.backend == "cpu":
         import jax
@@ -87,7 +89,7 @@ def main():
         params["lpips"] = LPIPS().init(jax.random.key(1), x0, x0)
 
     step_fn, loss_fn, init_state = make_train_step(
-        swap_cfg, TrainConfig(), recon=recon
+        swap_cfg, TrainConfig(split_grad=args.split_grad), recon=recon
     )
     state = init_state(params)
     if args.fwd_only:
@@ -96,6 +98,8 @@ def main():
             return state, metrics
 
         jit_step = jax.jit(fwd_step)
+    elif getattr(step_fn, "precompiled", False):
+        jit_step = step_fn  # split mode: already two jitted programs
     else:
         jit_step = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -123,6 +127,8 @@ def main():
         mode += f"-{args.attn}"
     if args.fwd_only:
         mode += "-fwdonly"
+    if args.split_grad:
+        mode += "-split"
     print(f"[bench_train_step] compiling {mode} step (batch {b}, {s}px, "
           f"remat={remat}) ...")
     t0 = time.perf_counter()
