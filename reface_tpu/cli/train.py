@@ -38,11 +38,20 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--full-losses", action="store_true",
                     help="enable DDIM-recon ID/LPIPS losses")
-    ap.add_argument("--split-grad", action="store_true",
-                    help="compile the full loss as two programs (recon-grad "
-                         "+ eps-grad/update); exact numerics, required at "
-                         "512px on the real chip where the monolithic "
-                         "backward exceeds the compiler's program limit")
+    ap.add_argument("--split-grad", type=int, nargs="?", const=1,
+                    default=0,
+                    help="compile the full loss as multiple programs — "
+                         "exact numerics, required at 512px on the real "
+                         "chip where the monolithic backward exceeds the "
+                         "compiler's program limit. 1 = two programs "
+                         "(recon-grad + eps-grad/update), 2 = four "
+                         "(collect/tower-grad/pullback/eps-update)")
+    ap.add_argument("--split-acc-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="split-grad accumulator dtype; bfloat16 halves its "
+                         "HBM residency (needed for 512px full losses on a "
+                         "single 16G chip), ~1e-3 relative rounding on the "
+                         "recon grad contribution")
     ap.add_argument("--ckpt-every", type=int, default=10000)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--image-log-every", type=int, default=500)
@@ -126,6 +135,7 @@ def main(argv=None):
     train_cfg = TrainConfig(
         learning_rate=lr, warmup_steps=args.warmup_steps,
         ema_decay=args.ema_decay or None, split_grad=args.split_grad,
+        split_acc_dtype=args.split_acc_dtype,
     )
     recon = ReconLossConfig() if args.full_losses else None
     if args.config or args.overrides:

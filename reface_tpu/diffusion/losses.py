@@ -40,7 +40,8 @@ from reface_tpu.core.schedules import DDIMTables, DiffusionSchedule
 from reface_tpu.diffusion.ddim import ddim_step
 
 __all__ = ["ReconLossConfig", "recon_timestep_seq", "ddim_reconstruct",
-           "avg_pool_to", "id_cosine_loss", "reface_losses"]
+           "avg_pool_to", "id_cosine_loss", "reface_losses",
+           "recon_collect", "recon_tower_losses"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,13 +194,48 @@ def reface_losses(
     if portion == "eps" or (cfg.id_weight <= 0 and cfg.lpips_weight <= 0):
         return total, metrics
 
-    # ---- 2. reconstruction chain from t_new = T-1 with the SAME noise
+    pred_latents, ref_flip = recon_collect(
+        unet_fn=unet_fn, conditioning_fn=conditioning_fn, schedule=schedule,
+        cfg=cfg, z_start9=z_start9, cond=cond, ref_clip224=ref_clip224,
+        landmarks=landmarks, t=t, key=key,
+    )
+    recon_total, recon_metrics = recon_tower_losses(
+        decode_fn=decode_fn, embed_id_fn=embed_id_fn, lpips_fn=lpips_fn,
+        cfg=cfg, pred_latents=pred_latents, ref_flip=ref_flip, rest=rest,
+        gt_image=gt_image,
+    )
+    metrics.update(recon_metrics)
+    total = total + recon_total
+    metrics["loss"] = total
+    return total, metrics
+
+
+def recon_collect(
+    *,
+    unet_fn: Callable,
+    conditioning_fn: Callable,
+    schedule: DiffusionSchedule,
+    cfg: ReconLossConfig,
+    z_start9: jnp.ndarray,
+    cond: jnp.ndarray,
+    ref_clip224: jnp.ndarray,
+    landmarks: jnp.ndarray | None,
+    t: jnp.ndarray,
+    key: jax.Array,
+):
+    """Stage 2 of p_losses_face: the k-step DDIM reconstruction chain from
+    t_new = T-1 with the SAME noise the eps-MSE used (identical `key`).
+    Returns (pred_latents tuple, ref_flip). Factored out so the split-grad
+    train step can compile it (and its cotangent pullback) as standalone
+    programs."""
+    z4 = z_start9[..., :4]
+    rest = z_start9[..., 4:]
+    noise = jax.random.normal(key, z4.shape, z4.dtype)
     t_new = schedule.num_timesteps - 1
     z_noisy = schedule.q_sample(z4, jnp.full_like(t, t_new), noise)
     if cfg.flip_reference:
         ref_flip = ref_clip224[::-1]
-        lm = landmarks
-        recon_cond = conditioning_fn(ref_flip, lm)
+        recon_cond = conditioning_fn(ref_flip, landmarks)
     else:
         ref_flip = ref_clip224
         recon_cond = cond
@@ -207,6 +243,28 @@ def reface_losses(
         unet_fn, z_noisy, rest, recon_cond, schedule, k=cfg.ddim_steps,
         t_new=t_new,
     )
+    return tuple(pred_latents), ref_flip
+
+
+def recon_tower_losses(
+    *,
+    decode_fn: Callable,
+    embed_id_fn: Callable,
+    lpips_fn: Callable | None,
+    cfg: ReconLossConfig,
+    pred_latents,
+    ref_flip: jnp.ndarray,
+    rest: jnp.ndarray,
+    gt_image: jnp.ndarray,
+):
+    """Stages 3-4 of p_losses_face: decode the collected latents and apply
+    the ID/LPIPS towers. Returns (weighted recon total, metrics). All tower
+    params are frozen, so in the split-grad step this differentiates only
+    w.r.t. pred_latents (the cotangents the scan pullback consumes)."""
+    from reface_tpu.data.augment import CLIP_MEAN_NP, CLIP_STD_NP
+
+    metrics = {}
+    total = 0.0
     # The three collected latents run the decoder/ID/LPIPS towers as ONE
     # stacked batch instead of three separate subgraphs: mathematically
     # identical (all towers are per-sample: GroupNorm/LayerNorm/eval-mode
@@ -251,5 +309,4 @@ def reface_losses(
         metrics["lpips_loss"] = lp
         total = total + cfg.lpips_weight * lp
 
-    metrics["loss"] = total
     return total, metrics

@@ -52,12 +52,24 @@ class TrainConfig:
     grad_clip: Optional[float] = None
     ema_decay: Optional[float] = None  # shipped config: use_ema False
     accumulate: int = 1  # Lightning accumulate_grad_batches equivalent
-    # Compile the full loss as TWO programs (recon-grad, then eps-grad +
-    # grad-sum + update) instead of one monolith. Numerically exact
-    # (gradients of sums are sums of gradients over identical inputs);
+    # Compile the full loss as multiple programs instead of one monolith —
+    # numerically exact (gradients of sums are sums of gradients over
+    # identical inputs; the tower/scan boundary chains exact cotangents) —
     # needed on the real chip where the single-program full-loss backward
     # exceeds the TPU compiler's program-size limit (BENCH_LOG.md round 3).
-    split_grad: bool = False
+    #   0/False: monolith.  1/True: two programs (recon-grad, then
+    #   eps-grad + grad-sum + update).  2: four programs (recon forward ->
+    #   tower grad w.r.t. the collected latents -> scan cotangent pullback
+    #   -> eps-grad + sum + update), each smaller than the 2-way halves.
+    split_grad: int = 0
+    # dtype of the inter-program gradient accumulator. float32 is exact;
+    # bfloat16 halves its HBM residency (the accumulator is what pushes a
+    # single 16G v5e over the edge at 512px: params 4.5G + AdamW moments
+    # ~7G + trainable grads 3.5G) at the cost of rounding the RECON grad
+    # contribution to bf16 before the sum — not bit-exact, but the noise is
+    # ~1e-3 relative, far below SGD noise. Multi-chip TP shards all three
+    # trees and needs no compromise.
+    split_acc_dtype: str = "float32"
 
 
 def trainable_labels(params: dict[str, Any]):
@@ -154,7 +166,10 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
     schedule = DiffusionSchedule.create(timesteps=train_cfg.num_timesteps)
     tx_holder = {}
 
-    def loss_fn(params, batch, key, portion="both"):
+    def prep(params, batch, key):
+        """Shared preprocessing + tower closures for every loss portion.
+        Deterministic in (params, batch, key), so the split-grad programs
+        each rebuild identical values (same dropout/noise/t)."""
         params = stop_gradient_frozen(params)
         kt, kn, ke1, ke2, kd = jax.random.split(key, 5)
         b = batch["target_image"].shape[0]
@@ -188,16 +203,6 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             params["unet"], x9, tt, cc
         )
 
-        if recon is None:
-            # eps-MSE only (fast path / dryrun)
-            noise = jax.random.normal(kn, z.shape, z.dtype)
-            z_t = schedule.q_sample(z, t, noise)
-            eps_pred = unet_fn(
-                jnp.concatenate([z_t, z_inpaint, mask_l], axis=-1), t, c
-            )
-            loss_simple = jnp.mean((noise - eps_pred) ** 2)
-            return loss_simple, {"loss_simple": loss_simple}
-
         def decode_fn(latent):
             return swapper_model.decode_latent(params, latent)
 
@@ -217,7 +222,7 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             )
 
         lpips_fn = None
-        if recon.lpips_weight > 0:
+        if recon is not None and recon.lpips_weight > 0:
             lpips_fn = lambda a, bb: lpips_model.apply(params["lpips"], a, bb)
 
         def conditioning_fn(ref, lm):
@@ -227,7 +232,8 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             )
 
         unet_features_fn = landmark_head_fn = None
-        if recon.landmark_weight > 0 and "landmark_head" in params:
+        if (recon is not None and recon.landmark_weight > 0
+                and "landmark_head" in params):
             from reface_tpu.nn.landmarks import LandmarkAuxHead
 
             unet_features_fn = lambda x9, tt, cc: swapper_model.unet.apply(
@@ -237,7 +243,7 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
                 params["landmark_head"], feats
             )
 
-        return reface_losses(
+        return dict(
             unet_fn=unet_fn,
             decode_fn=decode_fn,
             embed_id_fn=embed_id_fn,
@@ -245,15 +251,42 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             conditioning_fn=conditioning_fn,
             unet_features_fn=unet_features_fn,
             landmark_head_fn=landmark_head_fn,
-            schedule=schedule,
-            cfg=recon,
             z_start9=z9,
             cond=c,
+            t=t,
+            key=kn,
+        )
+
+    def loss_fn(params, batch, key, portion="both"):
+        p = prep(params, batch, key)
+        if recon is None:
+            # eps-MSE only (fast path / dryrun)
+            z9, c, t, kn = p["z_start9"], p["cond"], p["t"], p["key"]
+            z4 = z9[..., :4]
+            noise = jax.random.normal(kn, z4.shape, z4.dtype)
+            z_t = schedule.q_sample(z4, t, noise)
+            eps_pred = p["unet_fn"](
+                jnp.concatenate([z_t, z9[..., 4:]], axis=-1), t, c
+            )
+            loss_simple = jnp.mean((noise - eps_pred) ** 2)
+            return loss_simple, {"loss_simple": loss_simple}
+        return reface_losses(
+            unet_fn=p["unet_fn"],
+            decode_fn=p["decode_fn"],
+            embed_id_fn=p["embed_id_fn"],
+            lpips_fn=p["lpips_fn"],
+            conditioning_fn=p["conditioning_fn"],
+            unet_features_fn=p["unet_features_fn"],
+            landmark_head_fn=p["landmark_head_fn"],
+            schedule=schedule,
+            cfg=recon,
+            z_start9=p["z_start9"],
+            cond=p["cond"],
             ref_clip224=batch["ref_clip224"],
             gt_image=batch["target_image"],
             landmarks=batch.get("landmarks"),
-            t=t,
-            key=kn,
+            t=p["t"],
+            key=p["key"],
             portion=portion,
         )
 
@@ -286,17 +319,37 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
         # the TPU compiler's program-size limit at 512px. Each half stays
         # within it. Exact: loss = L_eps + L_recon over identical inputs
         # (same key -> same t/noise/dropout), so grads sum leaf-wise.
-        recon_grad = jax.jit(
-            lambda params, batch, key: jax.value_and_grad(
+        acc_dtype = jnp.dtype(train_cfg.split_acc_dtype)
+
+        def _filter_frozen(grads):
+            # frozen-leaf grads are identically zero (stop_gradient) and the
+            # optimizer masks their updates to zero anyway — shrink them to
+            # scalars so the inter-program accumulator is trainable-only
+            # (~1 GB of zero VAE/CLIP/ArcFace/LPIPS buffers saved on HBM)
+            labels = trainable_labels(grads)
+            return jax.tree.map(
+                lambda g, l: (g.astype(acc_dtype) if l == "train"
+                              else jnp.zeros((), g.dtype)),
+                grads, labels,
+            )
+
+        def _recon_grad(params, batch, key):
+            (loss_r, metrics_r), grads_r = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, batch, key, portion="recon")
-        )
+            return (loss_r, metrics_r), _filter_frozen(grads_r)
+
+        recon_grad = jax.jit(_recon_grad)
 
         def _eps_and_update(state, batch, key, loss_r, metrics_r, grads_r):
             (loss_e, metrics_e), grads_e = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, batch, key, portion="eps")
-            grads = jax.tree.map(jnp.add, grads_e, grads_r)
+            # grads_r frozen leaves are scalar zeros — broadcast add; the
+            # accumulator upcasts back so the optimizer math stays fp32
+            grads = jax.tree.map(
+                lambda ge, gr: ge + gr.astype(ge.dtype), grads_e, grads_r
+            )
             return apply_grads(
                 state, grads, loss_e + loss_r, {**metrics_r, **metrics_e}
             )
@@ -312,6 +365,68 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
 
         # callers must NOT wrap this in jax.jit — tracing through would
         # re-fuse both programs into the monolith the split exists to avoid
+        train_step.precompiled = True
+
+    if split and int(train_cfg.split_grad) >= 2:
+        # Four-program split: even the recon-grad half alone can exceed the
+        # compiler limit (scan-of-remat-UNet bwd + three tower bwds). Cut it
+        # at the pred_latents boundary, which fully mediates every trainable
+        # parameter's influence on the recon loss (the towers themselves —
+        # VAE decoder, ArcFace, LPIPS — are frozen/stop_gradient'd):
+        #   P1 collect:  recon_cond + k-step scan forward -> pred_latents
+        #   P2 towers:   d(loss_r)/d(pred_latents) (cotangents) + loss value
+        #   P3 pullback: d(<collect(params), cotangents>)/d(params) — the
+        #                chain rule's exact remaining factor; recomputes the
+        #                scan forward (the usual remat trade)
+        #   P4 eps-grad + grad-sum + optimizer update (as in the 2-way split)
+        from reface_tpu.diffusion.losses import recon_collect, recon_tower_losses
+
+        def _collect(params, batch, key):
+            p = prep(params, batch, key)
+            pred_latents, ref_flip = recon_collect(
+                unet_fn=p["unet_fn"], conditioning_fn=p["conditioning_fn"],
+                schedule=schedule, cfg=recon, z_start9=p["z_start9"],
+                cond=p["cond"], ref_clip224=batch["ref_clip224"],
+                landmarks=batch.get("landmarks"), t=p["t"], key=p["key"],
+            )
+            # rest (inpaint latent + mask channels) rides along so the tower
+            # program doesn't re-run the VAE encodes just for the ID mask
+            return pred_latents, ref_flip, p["z_start9"][..., 4:]
+
+        def _tower_loss(pred_latents, params, batch, ref_flip, rest):
+            p = prep(params, batch, jax.random.key(0))  # key unused by towers
+            return recon_tower_losses(
+                decode_fn=p["decode_fn"], embed_id_fn=p["embed_id_fn"],
+                lpips_fn=p["lpips_fn"], cfg=recon,
+                pred_latents=pred_latents, ref_flip=ref_flip,
+                rest=rest, gt_image=batch["target_image"],
+            )
+
+        collect_jit = jax.jit(_collect)
+        tower_grad = jax.jit(jax.value_and_grad(_tower_loss, has_aux=True))
+
+        def _pullback(params, batch, key, cots):
+            # d loss_r/d params = cots . d pred_latents/d params, exactly
+            pred_latents, _, _ = _collect(params, batch, key)
+            return sum(jnp.vdot(pl, ct)
+                       for pl, ct in zip(pred_latents, cots))
+
+        pull_grad = jax.jit(
+            lambda params, batch, key, cots: _filter_frozen(
+                jax.grad(_pullback)(params, batch, key, cots)
+            )
+        )
+
+        def train_step(state: TrainState, batch, key):
+            pred_latents, ref_flip, rest = collect_jit(
+                state.params, batch, key
+            )
+            (loss_r, metrics_r), cots = tower_grad(
+                pred_latents, state.params, batch, ref_flip, rest
+            )
+            grads_r = pull_grad(state.params, batch, key, cots)
+            return eps_update(state, batch, key, loss_r, metrics_r, grads_r)
+
         train_step.precompiled = True
 
     def init_state(params):

@@ -274,20 +274,23 @@ def test_split_grad_step_matches_monolith():
     state_m = init_m(params)
     new_m, met_m = jax.jit(step_m)(state_m, batch, key)
 
-    step_s, _, init_s = make_train_step(
-        cfg, TrainConfig(warmup_steps=5, split_grad=True), recon=recon
-    )
-    assert getattr(step_s, "precompiled", False)  # callers must not re-jit
-    state_s = init_s(params)
-    new_s, met_s = step_s(state_s, batch, key)
-
-    assert set(met_m) == set(met_s)
-    for k in met_m:
-        np.testing.assert_allclose(
-            float(met_m[k]), float(met_s[k]), rtol=2e-5, atol=1e-6, err_msg=k
+    for level in (1, 2):
+        step_s, _, init_s = make_train_step(
+            cfg, TrainConfig(warmup_steps=5, split_grad=level), recon=recon
         )
-    flat_m = jax.tree.leaves(new_m.params["unet"])
-    flat_s = jax.tree.leaves(new_s.params["unet"])
-    for a, b in zip(flat_m, flat_s):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-6)
+        assert getattr(step_s, "precompiled", False)  # callers must not re-jit
+        # fresh param buffers: the split step DONATES the incoming state
+        state_s = init_s(jax.tree.map(lambda x: jnp.array(x), params))
+        new_s, met_s = step_s(state_s, batch, key)
+
+        assert set(met_m) == set(met_s), level
+        for k in met_m:
+            np.testing.assert_allclose(
+                float(met_m[k]), float(met_s[k]), rtol=2e-5, atol=1e-6,
+                err_msg=f"split={level} {k}",
+            )
+        flat_m = jax.tree.leaves(new_m.params["unet"])
+        flat_s = jax.tree.leaves(new_s.params["unet"])
+        for a, b in zip(flat_m, flat_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)

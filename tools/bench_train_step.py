@@ -38,8 +38,14 @@ def main():
     ap.add_argument("--recon-steps", type=int, default=None)
     ap.add_argument("--fwd-only", action="store_true",
                     help="compile/run loss_fn only (no grad, no update)")
-    ap.add_argument("--split-grad", action="store_true",
-                    help="two-program split (recon-grad + eps-grad/update)")
+    ap.add_argument("--acc-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="inter-program grad accumulator dtype (split mode)")
+    ap.add_argument("--split-grad", type=int, nargs="?", const=1,
+                    default=0,
+                    help="1 = two-program split (recon-grad + eps-grad/"
+                         "update); 2 = four-program (collect/tower-grad/"
+                         "pullback/eps-update)")
     args = ap.parse_args()
     if args.backend == "cpu":
         import jax
@@ -89,7 +95,9 @@ def main():
         params["lpips"] = LPIPS().init(jax.random.key(1), x0, x0)
 
     step_fn, loss_fn, init_state = make_train_step(
-        swap_cfg, TrainConfig(split_grad=args.split_grad), recon=recon
+        swap_cfg, TrainConfig(split_grad=args.split_grad,
+                              split_acc_dtype=args.acc_dtype),
+        recon=recon
     )
     state = init_state(params)
     if args.fwd_only:
