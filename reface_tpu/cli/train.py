@@ -46,6 +46,9 @@ def main(argv=None):
                          "compiler's program limit. 1 = two programs "
                          "(recon-grad + eps-grad/update), 2 = four "
                          "(collect/tower-grad/pullback/eps-update)")
+    ap.add_argument("--mu-dtype", default=None, choices=[None, "bfloat16"],
+                    help="AdamW first-moment dtype; bfloat16 saves ~1.8G "
+                         "HBM at 860M trainable params")
     ap.add_argument("--split-acc-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="split-grad accumulator dtype; bfloat16 halves its "
@@ -135,7 +138,7 @@ def main(argv=None):
     train_cfg = TrainConfig(
         learning_rate=lr, warmup_steps=args.warmup_steps,
         ema_decay=args.ema_decay or None, split_grad=args.split_grad,
-        split_acc_dtype=args.split_acc_dtype,
+        split_acc_dtype=args.split_acc_dtype, mu_dtype=args.mu_dtype,
     )
     recon = ReconLossConfig() if args.full_losses else None
     if args.config or args.overrides:

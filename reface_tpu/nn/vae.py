@@ -41,6 +41,12 @@ class VAEConfig:
     out_ch: int = 3
     double_z: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # Rematerialize decoder blocks in the backward pass. Without it the
+    # 512px decoder backward stores every activation incl. fp32 GroupNorm
+    # islands — measured 14.5 GB of XLA temps for a 3-stacked decode
+    # (tools/probe_split_mem.py), which alone OOMs a 16G v5e. Training
+    # enables this; inference (no backward) is unaffected by the flag.
+    remat: bool = False
 
 
 class ResnetBlock(nn.Module):
@@ -136,18 +142,21 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cfg = self.config
         dt = cfg.dtype
+        # per-block remat (same param tree — lifted transform keeps scopes)
+        Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        Up = nn.remat(Upsample) if cfg.remat else Upsample
         z = z.astype(dt)
         block_in = cfg.ch * cfg.ch_mult[-1]
         h = nn.Conv(block_in, (3, 3), padding=1, dtype=dt, name="conv_in")(z)
-        h = ResnetBlock(block_in, dtype=dt, name="mid_block_1")(h)
+        h = Res(block_in, dtype=dt, name="mid_block_1")(h)
         h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dtype=dt, name="mid_block_2")(h)
+        h = Res(block_in, dtype=dt, name="mid_block_2")(h)
         for i in reversed(range(len(cfg.ch_mult))):
             ch = cfg.ch * cfg.ch_mult[i]
             for j in range(cfg.num_res_blocks + 1):
-                h = ResnetBlock(ch, dtype=dt, name=f"up_{i}_block_{j}")(h)
+                h = Res(ch, dtype=dt, name=f"up_{i}_block_{j}")(h)
             if i != 0:
-                h = Upsample(ch, dtype=dt, name=f"up_{i}_upsample")(h)
+                h = Up(ch, dtype=dt, name=f"up_{i}_upsample")(h)
         h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=dt, name="conv_out")(h).astype(

@@ -70,6 +70,11 @@ class TrainConfig:
     # ~1e-3 relative, far below SGD noise. Multi-chip TP shards all three
     # trees and needs no compromise.
     split_acc_dtype: str = "float32"
+    # AdamW first-moment dtype (optax mu_dtype). bfloat16 halves the
+    # moment's persistent HBM (−1.8 GB at 860M trainable params) — the
+    # standard large-model practice when a chip is memory-bound; float32
+    # is the reference-parity default.
+    mu_dtype: Optional[str] = None
 
 
 def trainable_labels(params: dict[str, Any]):
@@ -111,7 +116,8 @@ def make_optimizer(cfg: TrainConfig, params):
         end_value=cfg.learning_rate,
         transition_steps=cfg.warmup_steps,
     )
-    tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    tx = optax.adamw(sched, weight_decay=cfg.weight_decay,
+                     mu_dtype=cfg.mu_dtype and jnp.dtype(cfg.mu_dtype))
     if cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     tx = optax.multi_transform(
@@ -160,6 +166,13 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
         swap_cfg = dataclasses.replace(
             swap_cfg,
             unet=dataclasses.replace(swap_cfg.unet, attn_impl="flash"),
+        )
+    if recon is not None and not swap_cfg.vae.remat:
+        # the recon loss differentiates through the decoder; without block
+        # remat its 512px backward alone allocates ~14.5G of XLA temps
+        # (tools/probe_split_mem.py) — more than a whole v5e
+        swap_cfg = dataclasses.replace(
+            swap_cfg, vae=dataclasses.replace(swap_cfg.vae, remat=True)
         )
     swapper_model = SwapModules(swap_cfg)
     lpips_model = LPIPS()
@@ -411,11 +424,39 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             return sum(jnp.vdot(pl, ct)
                        for pl, ct in zip(pred_latents, cots))
 
-        pull_grad = jax.jit(
-            lambda params, batch, key, cots: _filter_frozen(
-                jax.grad(_pullback)(params, batch, key, cots)
+        if acc_dtype == jnp.float32:
+            pull_grad = jax.jit(
+                lambda params, batch, key, cots: _filter_frozen(
+                    jax.grad(_pullback)(params, batch, key, cots)
+                )
             )
-        )
+        else:
+            # bf16 accumulator: differentiate w.r.t. a PRE-CAST bf16
+            # trainable tree so the scan backward's gradient carry — the
+            # 3.5 GB fp32 tree that OOMs a 16G chip on top of params +
+            # AdamW moments — is bf16 end to end, not just cast at the
+            # exit. The forward is unchanged for bf16-compute modules
+            # (fp32->bf16 cast is idempotent); fp32 islands (GroupNorm
+            # scale/bias) see bf16-rounded params, consistent with this
+            # mode's documented tolerance.
+            def _pull_bf16(params, batch, key, cots):
+                labels = trainable_labels(params)
+                params_train = jax.tree.map(
+                    lambda p, l: (p.astype(acc_dtype) if l == "train"
+                                  else jnp.zeros((), p.dtype)),
+                    params, labels,
+                )
+
+                def proxy(pt):
+                    full = jax.tree.map(
+                        lambda p, l, ptl: ptl if l == "train" else p,
+                        params, labels, pt,
+                    )
+                    return _pullback(full, batch, key, cots)
+
+                return jax.grad(proxy)(params_train)
+
+            pull_grad = jax.jit(_pull_bf16)
 
         def train_step(state: TrainState, batch, key):
             pred_latents, ref_flip, rest = collect_jit(
@@ -428,6 +469,11 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
             return eps_update(state, batch, key, loss_r, metrics_r, grads_r)
 
         train_step.precompiled = True
+        # exposed for AOT memory analysis / debugging (tools/probe_split_mem)
+        train_step.programs = {
+            "collect": collect_jit, "towers": tower_grad,
+            "pull": pull_grad, "update": eps_update,
+        }
 
     def init_state(params):
         tx = make_optimizer(train_cfg, params)

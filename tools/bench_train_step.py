@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--recon-steps", type=int, default=None)
     ap.add_argument("--fwd-only", action="store_true",
                     help="compile/run loss_fn only (no grad, no update)")
+    ap.add_argument("--mu-dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="AdamW first-moment dtype (HBM saver)")
     ap.add_argument("--acc-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="inter-program grad accumulator dtype (split mode)")
@@ -96,7 +99,8 @@ def main():
 
     step_fn, loss_fn, init_state = make_train_step(
         swap_cfg, TrainConfig(split_grad=args.split_grad,
-                              split_acc_dtype=args.acc_dtype),
+                              split_acc_dtype=args.acc_dtype,
+                              mu_dtype=args.mu_dtype),
         recon=recon
     )
     state = init_state(params)
@@ -144,6 +148,9 @@ def main():
         state, metrics = jit_step(state, batch, jax.random.key(3))
         first = {k: float(v) for k, v in metrics.items()}
     except Exception as e:
+        import traceback
+
+        traceback.print_exc()
         print(json.dumps({"mode": mode, "batch": b, "error": str(e)[:400]}))
         raise SystemExit(1)
     print(f"[bench_train_step] first step (incl. compile) "
