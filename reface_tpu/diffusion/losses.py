@@ -265,16 +265,18 @@ def recon_tower_losses(
 
     metrics = {}
     total = 0.0
-    # The three collected latents run the decoder/ID/LPIPS towers as ONE
-    # stacked batch instead of three separate subgraphs: mathematically
-    # identical (all towers are per-sample: GroupNorm/LayerNorm/eval-mode
-    # BatchNorm), ~3x less HLO (the separate-instance program crashed the
-    # TPU compile helper at 512px), and better MXU utilization.
+    # The collected latents run the decoder/ID/LPIPS towers SEQUENTIALLY
+    # under a rematerialized lax.scan: mathematically identical to the
+    # reference's per-decode losses (all towers are per-sample:
+    # GroupNorm/LayerNorm/eval-mode BatchNorm; mean over n_dec*B == mean
+    # over decodes of per-decode means), HLO holds ONE tower instance (the
+    # three-separate-instance program crashed the TPU compile helper at
+    # 512px) and the checkpointed body bounds HBM to a single decode's
+    # backward (the 3-stacked variant's backward measured 14.5G of XLA
+    # temps — tools/probe_split_mem.py — and OOM'd a 16G v5e).
     n_dec = len(pred_latents)
-    decode_all = decode_fn(jnp.concatenate(pred_latents, axis=0))  # (nB,S,S,3)
-
-    # ---- 3. ID loss on inpaint-region-masked decodes vs flipped reference
-    s = decode_all.shape[1]
+    preds = jnp.stack(pred_latents)  # (n_dec, B, h, w, 4)
+    s = gt_image.shape[1]
     keep_mask = rest[..., -1:]  # latent-res keep mask (1=keep)
     mask_img = 1.0 - jax.image.resize(keep_mask, (keep_mask.shape[0], s, s, 1),
                                       "bilinear")
@@ -282,30 +284,31 @@ def recon_tower_losses(
     mean = jnp.asarray(CLIP_MEAN_NP)
     std = jnp.asarray(CLIP_STD_NP)
     ref_pm1 = (ref_flip * std + mean) * 2.0 - 1.0
-
-    f_pred = embed_id_fn(decode_all * jnp.tile(mask_img, (n_dec, 1, 1, 1)))
     f_ref = jax.lax.stop_gradient(embed_id_fn(ref_pm1))  # embed ref ONCE
-    # mean over n_dec*B == mean over decodes of per-decode means (equal sizes)
-    id_loss = jnp.mean(1.0 - jnp.sum(f_pred * jnp.tile(f_ref, (n_dec, 1)),
-                                     axis=-1))
+
+    # scales where AlexNet's stride-4 conv + maxpools don't collapse to
+    # zero-size maps (NaN); the 512px protocol scales (512/256/128) all pass
+    use_lpips = lpips_fn is not None and cfg.lpips_weight > 0
+    scales = [f for f in cfg.lpips_scales if s // f >= 32] if use_lpips else []
+    gt_scaled = [avg_pool_to(gt_image, s // f) for f in scales]
+
+    def tower_body(carry, pred):
+        dec = decode_fn(pred)  # (B, s, s, 3)
+        f_pred = embed_id_fn(dec * mask_img)
+        idc = jnp.mean(1.0 - jnp.sum(f_pred * f_ref, axis=-1))
+        lps = [jnp.mean(lpips_fn(avg_pool_to(dec, s // f), g))
+               for f, g in zip(scales, gt_scaled)]
+        return carry + jnp.stack([idc] + lps), None
+
+    sums, _ = jax.lax.scan(
+        jax.checkpoint(tower_body),
+        jnp.zeros((1 + len(scales),), preds.dtype), preds,
+    )
+    id_loss = sums[0] / n_dec  # mean over decodes of per-decode means
     metrics["id_loss"] = id_loss
     total = total + cfg.id_weight * id_loss
-
-    # ---- 4. LPIPS multi-scale vs GT over all decodes
-    if lpips_fn is not None and cfg.lpips_weight > 0:
-        lp = 0.0
-        for f in cfg.lpips_scales:
-            if s // f < 32:
-                # below ~32px AlexNet's stride-4 conv + maxpools collapse to
-                # zero-size maps (NaN); only reachable in tiny test configs —
-                # the 512px protocol scales (512/256/128) are all >= 32
-                continue
-            gt_f = avg_pool_to(gt_image, s // f)
-            # sum over decodes of mean == n_dec * mean over the stacked batch
-            lp = lp + n_dec * jnp.mean(
-                lpips_fn(avg_pool_to(decode_all, s // f),
-                         jnp.tile(gt_f, (n_dec, 1, 1, 1)))
-            )
+    if use_lpips:
+        lp = jnp.sum(sums[1:])  # sum over decodes x scales of means
         metrics["lpips_loss"] = lp
         total = total + cfg.lpips_weight * lp
 
