@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "fast", "flash", "einsum"],
                     help="self-attention kernel (fast = serving mode)")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="serving mode: int8 MXU matmuls for the "
+                         "transformer blocks (QKV/out + GEGLU FF)")
     args = ap.parse_args()
 
     from reface_tpu.nn.unet import UNetConfig
@@ -74,7 +77,7 @@ def main():
         cfg = SwapConfig(
             ddim_steps=args.steps, cfg_steps=args.cfg_steps,
             cfg_scale=args.cfg_scale,
-            unet=UNetConfig(attn_impl=args.attn),
+            unet=UNetConfig(attn_impl=args.attn, quant=args.quant),
         )
         # batch 8 is the measured knee of the exact protocol (1.59 swaps/s vs
         # 1.49 at batch 4; batch 16 spills — BENCH_LOG.md round-3 A/B table).
@@ -143,6 +146,8 @@ def main():
 
     swaps_per_sec = batch / best
     variant = f"_cfg{args.cfg_steps}" if args.cfg_steps else ""
+    if args.quant != "none":
+        variant += f"_{args.quant}"
     if args.cfg_scale == 1.0:
         variant += "_nocfg"  # guidance-folded student schedule
     if args.pipeline:

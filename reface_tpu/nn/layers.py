@@ -15,7 +15,36 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["GroupNorm32", "CrossAttention", "FeedForwardGEGLU", "zeros_init"]
+__all__ = ["GroupNorm32", "CrossAttention", "FeedForwardGEGLU", "QDense",
+           "zeros_init"]
+
+
+class QDense(nn.Module):
+    """nn.Dense-compatible layer (same param tree: kernel fp32 lecun-normal
+    + bias zeros) whose matmul optionally runs int8 x int8 -> int32 on the
+    MXU (ops/quant.py) — the serving-mode quantization path. quant="none"
+    reproduces nn.Dense exactly."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+    quant: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        if self.quant == "int8":
+            from reface_tpu.ops.quant import int8_dense
+
+            y = int8_dense(x, kernel, out_dtype=self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
 
 zeros_init = nn.initializers.zeros
 
@@ -111,6 +140,8 @@ class CrossAttention(nn.Module):
     head_splits: tuple = (6, 2)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"  # auto | fast | flash | einsum (ops/attention)
+    quant: str = "none"  # "int8": serving-mode MXU int8 for the self-attn
+    #                      QKV gemm + output projection (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -127,11 +158,18 @@ class CrossAttention(nn.Module):
             wq = _ProjKernel(inner, name="to_q")(ctx_dim)
             wk = _ProjKernel(inner, name="to_k")(ctx_dim)
             wv = _ProjKernel(inner, name="to_v")(ctx_dim)
-            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            qkv = jnp.dot(x.astype(self.dtype), w)
+            if self.quant == "int8":
+                from reface_tpu.ops.quant import int8_dense
+
+                w = jnp.concatenate([wq, wk, wv], axis=1)
+                qkv = int8_dense(x, w, out_dtype=self.dtype)
+            else:
+                w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+                qkv = jnp.dot(x.astype(self.dtype), w)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             out = _attention(q, k, v, self.heads, impl=self.attn_impl)
-            return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+            return QDense(self.query_dim, dtype=self.dtype,
+                          quant=self.quant, name="to_out")(out)
 
         to_k = dense(inner, "to_k")
         to_v = dense(inner, "to_v")
@@ -182,11 +220,14 @@ class FeedForwardGEGLU(nn.Module):
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h = QDense(inner * 2, dtype=self.dtype, quant=self.quant,
+                   name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+        return QDense(self.dim, dtype=self.dtype, quant=self.quant,
+                      name="proj_out")(h)

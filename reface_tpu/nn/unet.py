@@ -54,6 +54,10 @@ class UNetConfig:
     # probs, no row-max — serving mode), "flash" (has a VJP; training uses
     # this), "einsum"
     attn_impl: str = "auto"
+    # "int8": serving-mode MXU int8 for the transformer matmuls (self-attn
+    # QKV/out + GEGLU FF, ops/quant.py); cross-attention (M=1, exact
+    # shortcut) and convs stay bf16. Quantify deltas via compare_modes.
+    quant: str = "none"
 
 
 class ResBlock(nn.Module):
@@ -98,6 +102,7 @@ class TransformerBlock(nn.Module):
     context_dim: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, context, expand_cfg: bool = False):
@@ -110,7 +115,7 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(
             self.channels, heads=self.num_heads, dim_head=d, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn1",
+            attn_impl=self.attn_impl, quant=self.quant, name="attn1",
         )(h)
         if expand_cfg:
             x = jnp.concatenate([x, x], axis=0)
@@ -124,7 +129,8 @@ class TransformerBlock(nn.Module):
             name="attn2",
         )(h, context)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(x)
-        return x + FeedForwardGEGLU(self.channels, dtype=self.dtype, name="ff")(h)
+        return x + FeedForwardGEGLU(self.channels, dtype=self.dtype,
+                                    quant=self.quant, name="ff")(h)
 
 
 class SpatialTransformer(nn.Module):
@@ -134,6 +140,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, context, expand_cfg: bool = False):
@@ -148,6 +155,7 @@ class SpatialTransformer(nn.Module):
                 self.context_dim,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                quant=self.quant,
                 name=f"block_{i}",
             )(h, context, expand_cfg=expand_cfg and i == 0)
         h = h.reshape(-1, hh, ww, self.channels)
@@ -231,6 +239,7 @@ class UNetModel(nn.Module):
                 depth=cfg.transformer_depth,
                 dtype=dt,
                 attn_impl=cfg.attn_impl,
+                quant=cfg.quant,
                 name=name,
             )
 

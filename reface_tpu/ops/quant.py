@@ -1,0 +1,60 @@
+"""Int8 serving-mode matmul helpers (v5e MXU runs int8 at 2x bf16 rate).
+
+Symmetric quantization: per-output-channel weight scales, dynamic
+per-tensor activation scale, int8 x int8 -> int32 dot via XLA
+(preferred_element_type), dequantized into the requested output dtype.
+
+This is a SERVING numerics mode (like ops/attention "fast"): outputs match
+bf16 within ~1e-2 relative — quantify end-to-end deltas with
+tools/compare_modes.py. Exact-protocol paths never route here.
+
+Weight quantization happens inside jit from the live weights; within a
+sampler's lax.scan the weights are loop-invariant so XLA hoists the
+quantization out of the loop (verify per-config with the chain bench —
+if hoisting regresses, pre-quantize outside the scan).
+
+No reference counterpart (the reference serves fp16 torch); TPU-first
+design per the scaling-book int8 recipe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quant_int8", "int8_dense"]
+
+
+def quant_int8(w: jnp.ndarray, axis=0):
+    """Symmetric per-channel int8 quantization.
+
+    axis: the CONTRACTION axis of the weight — scales are computed per
+    output channel (max over `axis`), so dequantization broadcasts over
+    the output features.
+    Returns (q int8, scale f32 with `axis` reduced but kept as size 1).
+    """
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def int8_dense(x: jnp.ndarray, w: jnp.ndarray,
+               out_dtype=None) -> jnp.ndarray:
+    """x @ w with both sides int8-quantized on the fly.
+
+    x: (..., K) activations — dynamic per-tensor symmetric scale.
+    w: (K, N) weights — per-output-channel scales.
+    """
+    out_dtype = out_dtype or x.dtype
+    wq, w_scale = quant_int8(w, axis=0)  # (K,N) int8, (1,N) f32
+    x32 = x.astype(jnp.float32)
+    x_amax = jnp.max(jnp.abs(x32))
+    x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (x_scale * w_scale)).astype(out_dtype)

@@ -61,3 +61,43 @@ def test_split_context_single_token_exact():
     v = np.concatenate([v1[..., :48], v2[..., -16:]], -1)
     ref = np.broadcast_to(v, (1, 5, 64)) @ np.asarray(wo) + np.asarray(bo)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_int8_quant_block_close_and_tree_stable():
+    """Serving-mode int8 (UNetConfig.quant) must keep the param tree
+    identical and stay within ~2% of the fp32 block output (non-vacuous:
+    asserts the path actually changes the numbers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reface_tpu.nn.unet import TransformerBlock
+
+    x = jax.random.normal(jax.random.key(0), (2, 64, 96))
+    ctx = jax.random.normal(jax.random.key(1), (2, 1, 768))
+    b0 = TransformerBlock(96, 4, 768, dtype=jnp.float32, attn_impl="einsum")
+    b1 = TransformerBlock(96, 4, 768, dtype=jnp.float32, attn_impl="einsum",
+                          quant="int8")
+    p = b0.init(jax.random.key(2), x, ctx)
+    assert jax.tree.structure(p) == jax.tree.structure(
+        b1.init(jax.random.key(2), x, ctx)
+    )
+    o0 = np.asarray(b0.apply(p, x, ctx))
+    o1 = np.asarray(b1.apply(p, x, ctx))
+    d = np.abs(o0 - o1)
+    assert d.max() > 0, "int8 path not exercised"
+    assert d.max() / np.abs(o0).max() < 0.05
+
+
+def test_int8_dense_accuracy():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reface_tpu.ops.quant import int8_dense
+
+    x = jax.random.normal(jax.random.key(0), (7, 33, 96))
+    w = jax.random.normal(jax.random.key(1), (96, 64)) * 0.05
+    ref = np.asarray(x @ w)
+    got = np.asarray(int8_dense(x, w, out_dtype=jnp.float32))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.02
