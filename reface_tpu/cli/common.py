@@ -39,6 +39,9 @@ def add_model_args(ap):
                     choices=["auto", "fast", "flash", "einsum"],
                     help="self-attention kernel (fast = bf16-prob serving "
                          "mode; see ops/attention.py; default auto)")
+    ap.add_argument("--quant", default=None, choices=["none", "int8"],
+                    help="serving mode: int8 MXU matmuls in the transformer "
+                         "blocks (ops/quant.py; default none)")
     ap.add_argument("--sampler", default=None, choices=["ddim", "plms"],
                     help="(default ddim)")
     ap.add_argument("--seed", type=int, default=42)
@@ -108,8 +111,14 @@ def resolve_swap_config(args):
         cli["sampler"] = args.sampler
     if getattr(args, "cfg_steps", None) is not None:
         cli["cfg_steps"] = args.cfg_steps
-    if getattr(args, "attn", None) is not None:
-        cli["unet"] = dataclasses.replace(base.unet, attn_impl=args.attn)
+    if (getattr(args, "attn", None) is not None
+            or getattr(args, "quant", None) is not None):
+        ukw = {}
+        if getattr(args, "attn", None) is not None:
+            ukw["attn_impl"] = args.attn
+        if getattr(args, "quant", None) is not None:
+            ukw["quant"] = args.quant
+        cli["unet"] = dataclasses.replace(base.unet, **ukw)
     if cli:
         base = dataclasses.replace(base, **cli)
     return base
