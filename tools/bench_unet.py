@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--context-tokens", type=int, default=1)
     ap.add_argument("--fused-gn", action="store_true")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"])
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "fast", "flash", "einsum"])
     ap.add_argument("--ablate", default="none",
@@ -54,7 +55,8 @@ def main():
 
     from reface_tpu.nn.unet import UNetConfig, UNetModel
 
-    cfg = UNetConfig(fused_groupnorm=args.fused_gn, attn_impl=args.attn)
+    cfg = UNetConfig(fused_groupnorm=args.fused_gn, attn_impl=args.attn,
+                     quant=args.quant)
     model = UNetModel(cfg)
     b = args.batch
     key = jax.random.key(0)
