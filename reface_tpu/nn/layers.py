@@ -49,6 +49,39 @@ class QDense(nn.Module):
 zeros_init = nn.initializers.zeros
 
 
+class QConv(nn.Module):
+    """nn.Conv-compatible NHWC conv (same param tree: HWIO kernel
+    lecun-normal + bias zeros) whose conv optionally runs int8 x int8 ->
+    int32 on the MXU (ops/quant.py int8_conv) — the serving-mode
+    quantization path for the UNet's ResBlock convs."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
+    kernel_init: object = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        pad = [(self.padding, self.padding)] * 2
+        if self.quant == "int8":
+            from reface_tpu.ops.quant import int8_conv
+
+            y = int8_conv(x, kernel, padding=pad, out_dtype=self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return y + bias.astype(y.dtype)
+
+
 class _FusedGroupNormSiLU(nn.GroupNorm):
     """nn.GroupNorm param layout, fused Pallas GN+SiLU forward."""
 

@@ -55,8 +55,9 @@ class UNetConfig:
     # this), "einsum"
     attn_impl: str = "auto"
     # "int8": serving-mode MXU int8 for the transformer matmuls (self-attn
-    # QKV/out + GEGLU FF, ops/quant.py); cross-attention (M=1, exact
-    # shortcut) and convs stay bf16. Quantify deltas via compare_modes.
+    # QKV/out + GEGLU FF) AND the ResBlock convs (ops/quant.py);
+    # cross-attention (M=1 exact shortcut), stem/head and up/downsample
+    # convs stay bf16. Quantify deltas via compare_modes.
     quant: str = "none"
 
 
@@ -64,16 +65,27 @@ class ResBlock(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     fused_gn: bool = False
+    quant: str = "none"  # "int8": serving-mode MXU int8 convs (ops/quant)
 
     @nn.compact
     def __call__(self, x, emb):
+        from reface_tpu.nn.layers import QConv
+
+        def conv(feats, size, pad, name, kernel_init=None):
+            if self.quant != "none":
+                kw = {"kernel_init": kernel_init} if kernel_init else {}
+                return QConv(feats, kernel_size=size, padding=pad,
+                             dtype=self.dtype, quant=self.quant, name=name,
+                             **kw)
+            kw = {"kernel_init": kernel_init} if kernel_init else {}
+            return nn.Conv(feats, size, padding=pad, dtype=self.dtype,
+                           name=name, **kw)
+
         ch = x.shape[-1]
         h = GroupNorm32(name="in_norm", fuse_silu=self.fused_gn)(x)
         if not self.fused_gn:
             h = nn.silu(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="in_conv"
-        )(h)
+        h = conv(self.out_channels, (3, 3), 1, "in_conv")(h)
         e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(
             nn.silu(emb)
         )
@@ -81,18 +93,10 @@ class ResBlock(nn.Module):
         h = GroupNorm32(name="out_norm", fuse_silu=self.fused_gn)(h)
         if not self.fused_gn:
             h = nn.silu(h)
-        h = nn.Conv(
-            self.out_channels,
-            (3, 3),
-            padding=1,
-            kernel_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="out_conv",
-        )(h)
+        h = conv(self.out_channels, (3, 3), 1, "out_conv",
+                 kernel_init=nn.initializers.zeros)(h)
         if ch != self.out_channels:
-            x = nn.Conv(
-                self.out_channels, (1, 1), dtype=self.dtype, name="skip"
-            )(x)
+            x = conv(self.out_channels, (1, 1), 0, "skip")(x)
         return x + h
 
 
@@ -217,7 +221,8 @@ class UNetModel(nn.Module):
         res_block_cls = nn.remat(ResBlock) if cfg.remat else ResBlock
         from functools import partial as _partial
 
-        res_block = _partial(res_block_cls, fused_gn=cfg.fused_groupnorm)
+        res_block = _partial(res_block_cls, fused_gn=cfg.fused_groupnorm,
+                             quant=cfg.quant)
         transformer = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
 
         t_emb = timestep_embedding(timesteps, cfg.model_channels)

@@ -58,3 +58,29 @@ def int8_dense(x: jnp.ndarray, w: jnp.ndarray,
         preferred_element_type=jnp.int32,
     )
     return (acc.astype(jnp.float32) * (x_scale * w_scale)).astype(out_dtype)
+
+
+def int8_conv(x: jnp.ndarray, w: jnp.ndarray, *, strides=(1, 1),
+              padding="SAME", out_dtype=None) -> jnp.ndarray:
+    """NHWC conv with both sides int8-quantized on the fly.
+
+    x: (B, H, W, I) activations — dynamic per-tensor symmetric scale.
+    w: (kh, kw, I, O) HWIO kernel — per-output-channel scales (max over
+    kh/kw/I), so dequantization broadcasts over O.
+    """
+    out_dtype = out_dtype or x.dtype
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=(0, 1, 2), keepdims=True)  # (1,1,1,O)
+    w_scale = jnp.maximum(amax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w32 / w_scale), -127, 127).astype(jnp.int8)
+    x32 = x.astype(jnp.float32)
+    x_amax = jnp.max(jnp.abs(x32))
+    x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    scale = (x_scale * w_scale.reshape(1, 1, 1, -1))
+    return (acc.astype(jnp.float32) * scale).astype(out_dtype)

@@ -101,3 +101,25 @@ def test_int8_dense_accuracy():
     ref = np.asarray(x @ w)
     got = np.asarray(int8_dense(x, w, out_dtype=jnp.float32))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 0.02
+
+
+def test_int8_resblock_close_and_tree_stable():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reface_tpu.nn.unet import ResBlock
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 24))
+    emb = jax.random.normal(jax.random.key(1), (2, 48))
+    r0 = ResBlock(32, dtype=jnp.float32)
+    r1 = ResBlock(32, dtype=jnp.float32, quant="int8")
+    p = r0.init(jax.random.key(2), x, emb)
+    assert jax.tree.structure(p) == jax.tree.structure(
+        r1.init(jax.random.key(2), x, emb)
+    )
+    o0 = np.asarray(r0.apply(p, x, emb))
+    o1 = np.asarray(r1.apply(p, x, emb))
+    d = np.abs(o0 - o1)
+    assert d.max() > 0, "int8 conv path not exercised"
+    assert d.max() / np.abs(o0).max() < 0.05
