@@ -90,6 +90,10 @@ def main():
         "ddim15_cfg8_fast": SwapConfig(
             ddim_steps=15, cfg_steps=8, unet=UNetConfig(attn_impl="fast")
         ),
+        # int8 MXU matmuls/convs at the exact protocol: a pure
+        # kernel-numerics delta (weight-independent in character, like the
+        # fast-attention row)
+        "int8_ddim50": SwapConfig(unet=UNetConfig(quant="int8")),
     }
     base_cfg = modes["exact_ddim50"]
     base_params = params_for(base_cfg)
