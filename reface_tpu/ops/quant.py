@@ -43,13 +43,15 @@ def int8_dense(x: jnp.ndarray, w: jnp.ndarray,
                out_dtype=None) -> jnp.ndarray:
     """x @ w with both sides int8-quantized on the fly.
 
-    x: (..., K) activations — dynamic per-tensor symmetric scale.
+    x: (..., K) activations — dynamic PER-ROW (per-token) symmetric scales:
+    an outlier token then only degrades its own row, and the dequant
+    rescale is a rank-1 broadcast the MXU epilogue absorbs.
     w: (K, N) weights — per-output-channel scales.
     """
     out_dtype = out_dtype or x.dtype
     wq, w_scale = quant_int8(w, axis=0)  # (K,N) int8, (1,N) f32
     x32 = x.astype(jnp.float32)
-    x_amax = jnp.max(jnp.abs(x32))
+    x_amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)  # (..., 1)
     x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
