@@ -67,17 +67,33 @@ def main():
                          "transformer blocks (QKV/out + GEGLU FF)")
     args = ap.parse_args()
 
+    if args.tiny:
+        # CPU smoke: the sitecustomize pins JAX_PLATFORMS=axon, so switch
+        # programmatically BEFORE anything touches the backend (see
+        # CLAUDE.md / cli/common.apply_backend).
+        jax.config.update("jax_platforms", "cpu")
+
     from reface_tpu.nn.unet import UNetConfig
+    from reface_tpu.nn.vae import VAEConfig
     from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
 
     if args.tiny:
+        import dataclasses
+
         cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+        cfg = dataclasses.replace(
+            cfg,
+            unet=dataclasses.replace(cfg.unet, attn_impl=args.attn,
+                                     quant=args.quant),
+            vae=dataclasses.replace(cfg.vae, quant=args.quant),
+        )
         batch = args.batch or 2
     else:
         cfg = SwapConfig(
             ddim_steps=args.steps, cfg_steps=args.cfg_steps,
             cfg_scale=args.cfg_scale,
             unet=UNetConfig(attn_impl=args.attn, quant=args.quant),
+            vae=VAEConfig(quant=args.quant),
         )
         # batch 8 is the measured knee of the exact protocol (1.59 swaps/s vs
         # 1.49 at batch 4; batch 16 spills — BENCH_LOG.md round-3 A/B table).

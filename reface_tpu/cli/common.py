@@ -118,6 +118,7 @@ def resolve_swap_config(args):
             ukw["attn_impl"] = args.attn
         if getattr(args, "quant", None) is not None:
             ukw["quant"] = args.quant
+            cli["vae"] = dataclasses.replace(base.vae, quant=args.quant)
         cli["unet"] = dataclasses.replace(base.unet, **ukw)
     if cli:
         base = dataclasses.replace(base, **cli)

@@ -17,8 +17,8 @@ from reface_tpu.eval.backbones import Hopenet, decode_hopenet_angles
 
 __all__ = ["pose_angles", "pose_l2"]
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def pose_angles(params, images01: jnp.ndarray, batch_size: int = 64) -> np.ndarray:

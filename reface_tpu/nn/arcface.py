@@ -23,6 +23,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 __all__ = ["ArcFaceConfig", "IRSE50", "arcface_preprocess_from_clip", "ARC_FACE_CROP"]
@@ -154,8 +155,11 @@ class IRSE50(nn.Module):
 
 
 # CLIP normalization constants (used to undo CLIP preprocessing).
-CLIP_MEAN = jnp.array([0.48145466, 0.4578275, 0.40821073], jnp.float32)
-CLIP_STD = jnp.array([0.26862954, 0.26130258, 0.27577711], jnp.float32)
+# numpy, not jnp: module import must not initialize a JAX backend (the
+# sitecustomize pins the axon TPU plugin, so an import-time jnp.array
+# would open the tunnel before callers can select a platform).
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def arcface_preprocess_from_clip(x: jnp.ndarray) -> jnp.ndarray:

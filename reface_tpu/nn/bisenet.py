@@ -23,6 +23,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from reface_tpu.nn.arcface import BatchNormInference
@@ -30,8 +31,8 @@ from reface_tpu.nn.arcface import BatchNormInference
 __all__ = ["BiSeNetConfig", "BiSeNet", "parse_faces", "SEG_MEAN", "SEG_STD",
            "resize_bilinear_align_corners"]
 
-SEG_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-SEG_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+SEG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+SEG_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 @dataclasses.dataclass(frozen=True)

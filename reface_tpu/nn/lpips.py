@@ -14,13 +14,14 @@ program and is differentiable for the LPIPS training term.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 __all__ = ["AlexNetFeatures", "LPIPS"]
 
 # LPIPS input scaling constants (from the official implementation)
-_SHIFT = jnp.array([-0.030, -0.088, -0.188], jnp.float32)
-_SCALE = jnp.array([0.458, 0.448, 0.450], jnp.float32)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 _ALEX = [
     # (out_ch, kernel, stride, padding, pool_before)

@@ -47,23 +47,36 @@ class VAEConfig:
     # (tools/probe_split_mem.py), which alone OOMs a 16G v5e. Training
     # enables this; inference (no backward) is unaffected by the flag.
     remat: bool = False
+    # "int8": serving-mode MXU int8 for the ResnetBlock convs (ops/quant);
+    # mid attention, stem/head and up/downsample convs stay bf16
+    quant: str = "none"
 
 
 class ResnetBlock(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        from reface_tpu.nn.layers import QConv
+
+        def conv(feats, size, pad, name):
+            if self.quant != "none":
+                return QConv(feats, kernel_size=size, padding=pad,
+                             dtype=self.dtype, quant=self.quant, name=name)
+            return nn.Conv(feats, size, padding=pad, dtype=self.dtype,
+                           name=name)
+
         ch = x.shape[-1]
         h = GroupNorm32(epsilon=1e-6, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = conv(self.out_channels, (3, 3), 1, "conv1")(h)
         h = GroupNorm32(epsilon=1e-6, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = conv(self.out_channels, (3, 3), 1, "conv2")(h)
         if ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+            x = conv(self.out_channels, (1, 1), 0, "nin_shortcut")(x)
         return x + h
 
 
@@ -123,12 +136,15 @@ class Encoder(nn.Module):
         for i, mult in enumerate(cfg.ch_mult):
             ch = cfg.ch * mult
             for j in range(cfg.num_res_blocks):
-                h = ResnetBlock(ch, dtype=dt, name=f"down_{i}_block_{j}")(h)
+                h = ResnetBlock(ch, dtype=dt, quant=cfg.quant,
+                                name=f"down_{i}_block_{j}")(h)
             if i != len(cfg.ch_mult) - 1:
                 h = Downsample(ch, dtype=dt, name=f"down_{i}_downsample")(h)
-        h = ResnetBlock(h.shape[-1], dtype=dt, name="mid_block_1")(h)
+        h = ResnetBlock(h.shape[-1], dtype=dt, quant=cfg.quant,
+                        name="mid_block_1")(h)
         h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], dtype=dt, name="mid_block_2")(h)
+        h = ResnetBlock(h.shape[-1], dtype=dt, quant=cfg.quant,
+                        name="mid_block_2")(h)
         h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
         h = nn.silu(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
@@ -148,13 +164,14 @@ class Decoder(nn.Module):
         z = z.astype(dt)
         block_in = cfg.ch * cfg.ch_mult[-1]
         h = nn.Conv(block_in, (3, 3), padding=1, dtype=dt, name="conv_in")(z)
-        h = Res(block_in, dtype=dt, name="mid_block_1")(h)
+        h = Res(block_in, dtype=dt, quant=cfg.quant, name="mid_block_1")(h)
         h = AttnBlock(dtype=dt, name="mid_attn_1")(h)
-        h = Res(block_in, dtype=dt, name="mid_block_2")(h)
+        h = Res(block_in, dtype=dt, quant=cfg.quant, name="mid_block_2")(h)
         for i in reversed(range(len(cfg.ch_mult))):
             ch = cfg.ch * cfg.ch_mult[i]
             for j in range(cfg.num_res_blocks + 1):
-                h = Res(ch, dtype=dt, name=f"up_{i}_block_{j}")(h)
+                h = Res(ch, dtype=dt, quant=cfg.quant,
+                        name=f"up_{i}_block_{j}")(h)
             if i != 0:
                 h = Up(ch, dtype=dt, name=f"up_{i}_upsample")(h)
         h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)

@@ -123,3 +123,27 @@ def test_int8_resblock_close_and_tree_stable():
     d = np.abs(o0 - o1)
     assert d.max() > 0, "int8 conv path not exercised"
     assert d.max() / np.abs(o0).max() < 0.05
+
+
+def test_int8_vae_resnetblock_close_and_tree_stable():
+    """VAEConfig.quant="int8" routes the ResnetBlock convs through QConv;
+    the param tree must be unchanged (checkpoints load either way) and the
+    output must stay within serving tolerance of fp32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reface_tpu.nn.vae import ResnetBlock
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 24))
+    r0 = ResnetBlock(32, dtype=jnp.float32)
+    r1 = ResnetBlock(32, dtype=jnp.float32, quant="int8")
+    p = r0.init(jax.random.key(2), x)
+    assert jax.tree.structure(p) == jax.tree.structure(
+        r1.init(jax.random.key(2), x)
+    )
+    o0 = np.asarray(r0.apply(p, x))
+    o1 = np.asarray(r1.apply(p, x))
+    d = np.abs(o0 - o1)
+    assert d.max() > 0, "int8 conv path not exercised"
+    assert d.max() / np.abs(o0).max() < 0.05
