@@ -41,6 +41,7 @@ def main():
     args = ap.parse_args()
 
     from reface_tpu.nn.unet import UNetConfig
+    from reface_tpu.nn.vae import VAEConfig
     from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig
 
     def params_for(cfg):
@@ -92,8 +93,10 @@ def main():
         ),
         # int8 MXU matmuls/convs at the exact protocol: a pure
         # kernel-numerics delta (weight-independent in character, like the
-        # fast-attention row)
-        "int8_ddim50": SwapConfig(unet=UNetConfig(quant="int8")),
+        # fast-attention row). Matches the shipped --quant int8 knob:
+        # UNet transformer blocks + ResBlock convs + VAE ResnetBlock convs.
+        "int8_ddim50": SwapConfig(unet=UNetConfig(quant="int8"),
+                                  vae=VAEConfig(quant="int8")),
     }
     base_cfg = modes["exact_ddim50"]
     base_params = params_for(base_cfg)
