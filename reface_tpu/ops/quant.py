@@ -66,7 +66,11 @@ def int8_conv(x: jnp.ndarray, w: jnp.ndarray, *, strides=(1, 1),
               padding="SAME", out_dtype=None) -> jnp.ndarray:
     """NHWC conv with both sides int8-quantized on the fly.
 
-    x: (B, H, W, I) activations — dynamic per-tensor symmetric scale.
+    x: (B, H, W, I) activations — dynamic PER-SAMPLE symmetric scales
+    (max over H/W/I): an outlier pixel then only degrades its own image,
+    and the dequant rescale stays a rank-1 broadcast over the batch.
+    (Per-pixel scales would be wrong here: one output pixel mixes kh*kw
+    input pixels, so the scale must be constant across the window.)
     w: (kh, kw, I, O) HWIO kernel — per-output-channel scales (max over
     kh/kw/I), so dequantization broadcasts over O.
     """
@@ -76,7 +80,7 @@ def int8_conv(x: jnp.ndarray, w: jnp.ndarray, *, strides=(1, 1),
     w_scale = jnp.maximum(amax, 1e-8) / 127.0
     wq = jnp.clip(jnp.round(w32 / w_scale), -127, 127).astype(jnp.int8)
     x32 = x.astype(jnp.float32)
-    x_amax = jnp.max(jnp.abs(x32))
+    x_amax = jnp.max(jnp.abs(x32), axis=(1, 2, 3), keepdims=True)  # (B,1,1,1)
     x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
@@ -84,5 +88,5 @@ def int8_conv(x: jnp.ndarray, w: jnp.ndarray, *, strides=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    scale = (x_scale * w_scale.reshape(1, 1, 1, -1))
+    scale = x_scale * w_scale.reshape(1, 1, 1, -1)  # (B,1,1,O)
     return (acc.astype(jnp.float32) * scale).astype(out_dtype)

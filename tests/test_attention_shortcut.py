@@ -147,3 +147,24 @@ def test_int8_vae_resnetblock_close_and_tree_stable():
     d = np.abs(o0 - o1)
     assert d.max() > 0, "int8 conv path not exercised"
     assert d.max() / np.abs(o0).max() < 0.05
+
+
+def test_int8_conv_accuracy_and_per_sample_scales():
+    """int8_conv quantizes activations with PER-SAMPLE scales: an outlier
+    in one batch element must not degrade the other elements' outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reface_tpu.ops.quant import int8_conv
+
+    x = jax.random.normal(jax.random.key(0), (3, 9, 9, 16))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 16, 24)) * 0.05
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    got = np.asarray(int8_conv(x, w, out_dtype=jnp.float32))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.02
+    # blow up sample 0 by 100x; samples 1/2 must quantize as before
+    x_hot = x.at[0].multiply(100.0)
+    got_hot = np.asarray(int8_conv(x_hot, w, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got_hot[1:], got[1:], rtol=0, atol=1e-6)
