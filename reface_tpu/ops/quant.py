@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quant_int8", "int8_dense"]
+__all__ = ["quant_int8", "int8_dense", "int8_conv"]
 
 
 def quant_int8(w: jnp.ndarray, axis=0):
