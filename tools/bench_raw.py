@@ -1,0 +1,117 @@
+"""End-to-end single-swap latency: raw frame in -> composited frame out.
+
+The BASELINE north star names two serving numbers: throughput
+(swaps/sec/chip at 512px DDIM-50 — bench.py) and **p50 end-to-end
+single-swap latency**. This measures the second on the full raw path
+(`pipelines/raw.py::RawSwapPipeline.swap_images`): landmark detection,
+1024^2 alignment, BiSeNet parsing, masked CLIP reference build, the DDIM
+swap on the crop, and inverse-perspective paste-back — the reference's
+one_inference.py protocol (scripts/one_inference.py:521-808; DDIM 50,
+scale 3.5, batch 1, Demo.sh).
+
+Measurement rules per CLAUDE.md: every iteration ends in a scalar host
+readback (the axon tunnel's block_until_ready is unreliable); the first
+measurements in a process read slow (power ramp), so p50 over >=7 iters
+is the protocol number and the times list is printed for inspection.
+
+Usage:
+  python tools/bench_raw.py                  # real chip, full protocol
+  python tools/bench_raw.py --tiny           # CPU smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--frame", type=int, default=1024, help="raw frame H=W")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cfg-scale", type=float, default=3.5,
+                    help="one_inference.py single-swap protocol scale")
+    ap.add_argument("--iters", type=int, default=7)
+    args = ap.parse_args()
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from reface_tpu.nn.bisenet import BiSeNetConfig
+    from reface_tpu.nn.landmarks import LandmarkNetConfig
+    from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
+    from reface_tpu.pipelines.raw import RawPipelineConfig, RawSwapPipeline
+
+    if args.tiny:
+        swap_cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+        swap_cfg = dataclasses.replace(swap_cfg, cfg_scale=args.cfg_scale)
+        raw_cfg = RawPipelineConfig(
+            align_size=64, parse_size=64,
+            landmark=LandmarkNetConfig(widths=(8, 16, 32, 32), input_size=64,
+                                       dtype=jnp.float32),
+            bisenet=BiSeNetConfig(dtype=jnp.float32),
+        )
+        frame = 96
+    else:
+        swap_cfg = SwapConfig(ddim_steps=args.steps, cfg_scale=args.cfg_scale)
+        raw_cfg = RawPipelineConfig()
+        frame = args.frame
+
+    key = jax.random.key(0)
+    sw = FaceSwapper(swap_cfg, FaceSwapper.init_params(swap_cfg, key))
+    if not args.tiny:
+        sw = FaceSwapper(
+            swap_cfg,
+            jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, sw.params,
+            ),
+        )
+    pipe = RawSwapPipeline(sw, raw_cfg)
+
+    b = args.batch
+    tgt = jax.random.uniform(jax.random.key(1), (b, frame, frame, 3))
+    src = jax.random.uniform(jax.random.key(2), (b, frame, frame, 3))
+
+    # compile + warm
+    out = pipe.swap_images(tgt, src, key=jax.random.key(3))
+    _ = float(jnp.mean(out))
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = pipe.swap_images(tgt, src, key=jax.random.key(4 + i))
+        _ = float(jnp.mean(out))  # forces completion over the tunnel
+        times.append(time.perf_counter() - t0)
+    p50 = statistics.median(times)
+    variant = "_tiny" if args.tiny else ""
+    print(json.dumps({
+        "metric": f"single_swap_p50_latency{variant}",
+        "value": round(p50, 4),
+        "unit": "s",
+        "best": round(min(times), 4),
+        "frame": frame, "batch": b, "ddim_steps": swap_cfg.ddim_steps,
+        "cfg_scale": args.cfg_scale,
+    }))
+    print("# times:", [round(t, 3) for t in times])
+
+
+if __name__ == "__main__":
+    main()
