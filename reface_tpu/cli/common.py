@@ -42,8 +42,14 @@ def add_model_args(ap):
     ap.add_argument("--quant", default=None, choices=["none", "int8"],
                     help="serving mode: int8 MXU matmuls in the transformer "
                          "blocks (ops/quant.py; default none)")
-    ap.add_argument("--sampler", default=None, choices=["ddim", "plms"],
-                    help="(default ddim)")
+    ap.add_argument("--sampler", default=None, choices=["ddim", "plms", "dpm"],
+                    help="dpm = DPM-Solver++(2M), 2nd-order training-free "
+                         "step-count reducer (diffusion/dpm_solver.py); "
+                         "(default ddim)")
+    ap.add_argument("--discretize", default=None,
+                    choices=["uniform", "quad", "lam_uniform"],
+                    help="timestep-subset spacing; lam_uniform (logSNR) is "
+                         "the grid --sampler dpm wants (default uniform)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--tiny", action="store_true",
                     help="random tiny model (smoke runs without weights)")
@@ -109,6 +115,8 @@ def resolve_swap_config(args):
         cli["cfg_scale"] = args.scale
     if args.sampler is not None:
         cli["sampler"] = args.sampler
+    if getattr(args, "discretize", None) is not None:
+        cli["ddim_discretize"] = args.discretize
     if getattr(args, "cfg_steps", None) is not None:
         cli["cfg_steps"] = args.cfg_steps
     if (getattr(args, "attn", None) is not None

@@ -67,14 +67,38 @@ def make_beta_schedule(
 
 
 def make_ddim_timesteps(
-    num_ddim_steps: int, num_ddpm_steps: int = 1000, method: str = "uniform"
+    num_ddim_steps: int,
+    num_ddpm_steps: int = 1000,
+    method: str = "uniform",
+    alphas_cumprod: "np.ndarray | None" = None,
 ) -> np.ndarray:
-    """DDIM timestep subset, including the reference's +1 offset."""
+    """DDIM timestep subset, including the reference's +1 offset.
+
+    "uniform"/"quad" are the reference's discretizations (ddim.py /
+    util.make_ddim_timesteps semantics). "lam_uniform" spaces the subset
+    uniformly in half-log-SNR lam = 0.5*log(a/(1-a)) — the grid the
+    DPM-Solver++ error analysis assumes (arXiv:2211.01095 §4). The shipped
+    t-uniform grid has a huge terminal lam-jump (t=101 -> 1 spans lam 1.06
+    -> 3.19 on the SD schedule) where multistep extrapolation loses its
+    order advantage; lam-uniform restores clean 2nd-order convergence
+    (tests/test_dpm_solver.py measures both). Requires `alphas_cumprod`.
+    """
     if method == "uniform":
         c = num_ddpm_steps // num_ddim_steps
         ts = np.arange(0, num_ddpm_steps, c)
     elif method == "quad":
         ts = (np.linspace(0, math.sqrt(num_ddpm_steps * 0.8), num_ddim_steps) ** 2).astype(int)
+    elif method == "lam_uniform":
+        if alphas_cumprod is None:
+            raise ValueError("lam_uniform discretization needs alphas_cumprod")
+        acp = np.asarray(alphas_cumprod, np.float64)
+        lam = 0.5 * (np.log(acp) - np.log1p(-acp))
+        # same high-noise anchor as "uniform" at this step count
+        t_hi = num_ddpm_steps - num_ddpm_steps // num_ddim_steps + 1
+        targets = np.linspace(lam[t_hi], lam[1], num_ddim_steps)
+        idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
+        # already lands on offset indices in [1, T-1]; ascending unique
+        return np.unique(idx)
     else:
         raise ValueError(f"unknown ddim discretization {method!r}")
     # +1 so the final step's alpha is the one that scales to data. Clipped so
@@ -185,7 +209,9 @@ class DDIMTables:
         method: str = "uniform",
     ) -> "DDIMTables":
         acp = np.asarray(schedule.alphas_cumprod, np.float64)
-        ts = make_ddim_timesteps(num_steps, schedule.num_timesteps, method)
+        ts = make_ddim_timesteps(
+            num_steps, schedule.num_timesteps, method, alphas_cumprod=acp
+        )
         alphas = acp[ts]
         alphas_prev = np.concatenate([[acp[0]], acp[ts[:-1]]])
         sigmas = eta * np.sqrt(

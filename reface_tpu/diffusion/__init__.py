@@ -6,12 +6,14 @@ from reface_tpu.diffusion.guidance import (
     make_id_guidance,
     make_seg_guidance,
 )
+from reface_tpu.diffusion.dpm_solver import dpm_solver_sample
 from reface_tpu.diffusion.plms import plms_sample
 
 __all__ = [
     "cfg_eps",
     "ddim_sample",
     "ddim_step",
+    "dpm_solver_sample",
     "plms_sample",
     "guided_ddim_sample",
     "combine_guidance",

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from reface_tpu.core.schedules import DDIMTables, DiffusionSchedule
 from reface_tpu.diffusion.ddim import ddim_sample
+from reface_tpu.diffusion.dpm_solver import dpm_solver_sample
 from reface_tpu.diffusion.plms import plms_sample
 from reface_tpu.nn.arcface import CLIP_MEAN, CLIP_STD
 from reface_tpu.nn.conditioner import ConditionerConfig, REFaceConditioner
@@ -58,7 +59,11 @@ class SwapConfig:
     # (0 = reference protocol, CFG on every step)
     cfg_steps: int = 0
     eta: float = 0.0
-    sampler: str = "ddim"  # "ddim" | "plms"
+    sampler: str = "ddim"  # "ddim" | "plms" | "dpm" (DPM-Solver++(2M))
+    # timestep-subset spacing: "uniform"/"quad" (reference parity) or
+    # "lam_uniform" (logSNR-uniform — the grid DPM-Solver++ wants; the
+    # t-uniform grid's terminal lam-jump costs it its 2nd-order advantage)
+    ddim_discretize: str = "uniform"
     image_size: int = 512
     latent_size: int = 64
     sample_posterior: bool = True  # reference samples the VAE posterior
@@ -160,7 +165,8 @@ class FaceSwapper(SwapModules):
         self.params = params
         self.schedule = DiffusionSchedule.create()
         self.tables = DDIMTables.create(
-            self.schedule, config.ddim_steps, eta=config.eta
+            self.schedule, config.ddim_steps, eta=config.eta,
+            method=config.ddim_discretize,
         )
         self._jit_swap = jax.jit(self._swap_impl)
 
@@ -204,6 +210,16 @@ class FaceSwapper(SwapModules):
             z = plms_sample(
                 model_fn, x_T, c, uc, z_inpaint, mask_latent, self.tables,
                 cfg.cfg_scale,
+            )
+        elif cfg.sampler == "dpm":
+            z = dpm_solver_sample(
+                model_fn, x_T, c, uc, z_inpaint, mask_latent, self.tables,
+                cfg.cfg_scale,
+                cfg_steps=cfg.cfg_steps or None,
+                dedup_model_fn=(
+                    partial(self.unet_eps_cfg_dedup, params)
+                    if cfg.cfg_dedup else None
+                ),
             )
         else:
             z = ddim_sample(
