@@ -96,9 +96,25 @@ def make_ddim_timesteps(
         # same high-noise anchor as "uniform" at this step count
         t_hi = num_ddpm_steps - num_ddpm_steps // num_ddim_steps + 1
         targets = np.linspace(lam[t_hi], lam[1], num_ddim_steps)
-        idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
-        # already lands on offset indices in [1, T-1]; ascending unique
-        return np.unique(idx)
+        # Greedy nearest-UNUSED-index assignment: a plain per-target argmin
+        # collapses duplicates where the lam grid is dense relative to the
+        # target spacing (SD schedule: S=50 -> 49, S=100 -> 94 under
+        # np.unique), silently running fewer UNet evals than requested.
+        # Claiming the nearest free neighbor instead guarantees exactly
+        # num_ddim_steps unique indices (lam is strictly monotonic in t, so
+        # in-order assignment stays monotonic and the sort is a formality).
+        used = np.zeros(len(lam), bool)
+        used[0] = True  # keep the +1 offset convention: indices in [1, T-1]
+        idx = np.empty(num_ddim_steps, np.int64)
+        for i, tgt in enumerate(targets):
+            d = np.abs(lam - tgt)
+            d[used] = np.inf
+            j = int(d.argmin())
+            idx[i] = j
+            used[j] = True
+        idx = np.sort(idx)
+        assert len(np.unique(idx)) == num_ddim_steps
+        return idx
     else:
         raise ValueError(f"unknown ddim discretization {method!r}")
     # +1 so the final step's alpha is the one that scales to data. Clipped so

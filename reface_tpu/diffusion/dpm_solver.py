@@ -62,6 +62,7 @@ def dpm_solver_sample(
     cfg_scale: float = 3.0,
     cfg_steps: Optional[int] = None,
     dedup_model_fn: Optional[ModelFn] = None,
+    lower_order_final: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Run the reverse DPM-Solver++(2M) chain; returns the final 4-ch latent.
 
@@ -69,6 +70,13 @@ def dpm_solver_sample(
     batch-doubling / cfg_steps guidance-interval / prefix-dedup hooks;
     deterministic, the eta=0 regime). `tables` is the standard DDIMTables
     subset; the solver only consumes `timesteps` and the alphacum pairs.
+
+    lower_order_final: drop to order 1 on the terminal step, matching the
+    official DPM-Solver / diffusers safeguard — 2M extrapolation through the
+    last two x0 estimates is unstable near t=0 with real x-dependent models
+    at low step counts (analytic tests can't see this: their x0 is
+    x-independent). None = auto (on when num_steps < 15, the diffusers
+    threshold).
     """
     use_cfg = uncond_context is not None and cfg_scale != 1.0
     b = x_T.shape[0]
@@ -79,11 +87,19 @@ def dpm_solver_sample(
 
     rev = lambda a: a[::-1]
     n_steps = tables.num_steps
+    if lower_order_final is None:
+        lower_order_final = n_steps < 15
+    # order-1 mask: the global first step (no history yet) and, under the
+    # lower_order_final safeguard, the terminal step. Static per position,
+    # so it rides the scan xs and stays one compiled program.
+    order1 = jnp.arange(n_steps) == 0
+    if lower_order_final:
+        order1 = order1 | (jnp.arange(n_steps) == n_steps - 1)
     xs = (
         jnp.asarray(rev(tables.timesteps)),
         jnp.asarray(rev(tables.alphas)),
         jnp.asarray(rev(tables.alphas_prev)),
-        jnp.arange(n_steps) == 0,  # order-1 warmup flag (global first step)
+        order1,
     )
     n_cfg = n_steps
     if use_cfg and cfg_steps is not None:
@@ -92,7 +108,7 @@ def dpm_solver_sample(
     def make_body(with_cfg: bool):
         def body(carry, scan_in):
             x, x0_prev, h_prev = carry
-            t, a_t, a_tgt, first = scan_in
+            t, a_t, a_tgt, order1 = scan_in
             x9 = jnp.concatenate([x, rest], axis=-1)
             tb = jnp.full((b,), t, jnp.int32)
             if with_cfg and dedup_model_fn is not None:
@@ -109,7 +125,7 @@ def dpm_solver_sample(
             h = _half_log_snr(a_tgt) - _half_log_snr(a_t)
             r = h_prev / h
             d2 = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
-            d = jnp.where(first, x0, d2)
+            d = jnp.where(order1, x0, d2)
             alpha_tgt = jnp.sqrt(a_tgt)
             sigma_tgt = jnp.sqrt(1.0 - a_tgt)
             x_next = (sigma_tgt / sigma_t) * x - alpha_tgt * jnp.expm1(-h) * d

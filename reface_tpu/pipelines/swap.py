@@ -162,6 +162,15 @@ class FaceSwapper(SwapModules):
 
     def __init__(self, config: SwapConfig, params: dict[str, Any]):
         super().__init__(config)
+        if config.sampler in ("plms", "dpm") and config.eta != 0.0:
+            # Both solvers discretize the deterministic probability-flow
+            # ODE; silently ignoring a stochastic eta would run a different
+            # process than the config asks for (reference's eta lives only
+            # in the DDIM update, ddim.py:352-374).
+            raise ValueError(
+                f"sampler={config.sampler!r} is deterministic (eta=0 only); "
+                f"got eta={config.eta}. Use sampler='ddim' for eta>0."
+            )
         self.params = params
         self.schedule = DiffusionSchedule.create()
         self.tables = DDIMTables.create(

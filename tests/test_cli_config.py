@@ -128,3 +128,30 @@ def test_vae_tiling_flag_runs_swap():
     d_full = np.asarray(sw0.decode_latent(params, z))
     assert d_tiled.shape == d_full.shape
     assert np.isfinite(d_tiled).all()
+
+
+def test_dpm_sampler_defaults_to_lam_uniform_grid():
+    """ADVICE r3: --sampler dpm without --discretize should get the
+    lam-uniform grid the 2M error analysis assumes; an explicit
+    --discretize and non-dpm samplers keep their values."""
+    cfg = resolve_swap_config(_args(["--sampler", "dpm"]))
+    assert cfg.sampler == "dpm" and cfg.ddim_discretize == "lam_uniform"
+    cfg = resolve_swap_config(
+        _args(["--sampler", "dpm", "--discretize", "uniform"])
+    )
+    assert cfg.ddim_discretize == "uniform"
+    cfg = resolve_swap_config(_args([]))
+    assert cfg.ddim_discretize == "uniform"
+
+
+def test_deterministic_samplers_reject_eta():
+    """ADVICE r3: dpm/plms silently ignored cfg.eta; now a loud error."""
+    import pytest
+
+    for sampler in ("dpm", "plms"):
+        cfg = dataclasses.replace(
+            tiny_swap_config(image_size=64, ddim_steps=2),
+            sampler=sampler, eta=0.5,
+        )
+        with pytest.raises(ValueError, match="deterministic"):
+            FaceSwapper(cfg, {})

@@ -96,3 +96,18 @@ def test_timestep_embedding_odd_dim_pads():
     emb = np.asarray(timestep_embedding(jnp.array([1.0]), 5))
     assert emb.shape == (1, 5)
     assert emb[0, -1] == 0.0
+
+
+def test_lam_uniform_exact_step_counts():
+    """ADVICE r3 (medium): the dense-lam regions must not collapse the
+    requested step count (plain argmin+unique returned 49 for S=50, 94 for
+    S=100 on the SD schedule); the greedy nearest-unused assignment must
+    return exactly S unique ascending indices in [1, 999]."""
+    sched = DiffusionSchedule.create()
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    for S in (10, 20, 50, 100, 250):
+        ts = make_ddim_timesteps(S, 1000, "lam_uniform", alphas_cumprod=acp)
+        assert len(ts) == S, (S, len(ts))
+        assert len(np.unique(ts)) == S
+        assert (np.diff(ts) > 0).all()
+        assert ts[0] >= 1 and ts[-1] <= 999
