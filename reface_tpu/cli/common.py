@@ -10,10 +10,16 @@ def apply_backend(args) -> None:
     """Force the JAX platform before any backend initialization.
 
     The environment's sitecustomize force-registers a TPU plugin, so env vars
-    alone don't switch platforms; jax.config does (pre-init)."""
-    if getattr(args, "backend", None):
-        import jax
+    alone don't switch platforms; jax.config does (pre-init). Also points the
+    persistent compilation cache at the repo's .jax_cache (first compile of
+    the 512px programs is ~15 min over the tunnel; every driver should reuse
+    it, not just bench.py and tools/)."""
+    import jax
 
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    if getattr(args, "backend", None):
         jax.config.update("jax_platforms", args.backend)
 
 

@@ -45,7 +45,12 @@ def _decode_multipart(body: bytes, boundary: bytes) -> dict[str, bytes]:
     return out
 
 
-def main(argv=None):
+def make_server(argv=None):
+    """Build the configured ThreadingHTTPServer (not yet serving).
+
+    Split from main() so tests can drive the real HTTP surface — bind to
+    port 0, POST a genuine multipart upload, read the PNG response — without
+    blocking on serve_forever."""
     ap = argparse.ArgumentParser(description=__doc__)
     add_model_args(ap)
     ap.add_argument("--port", type=int, default=7860)
@@ -152,8 +157,12 @@ def main(argv=None):
         def log_message(self, *a):
             pass
 
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
-    print(f"[demo] listening on :{args.port}")
+    return ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+
+
+def main(argv=None):
+    server = make_server(argv)
+    print(f"[demo] listening on :{server.server_address[1]}")
     server.serve_forever()
 
 

@@ -114,7 +114,15 @@ class PrefetchLoader:
             try:
                 if self.worker_mode == "process":
                     # persistent pool: fork/ship the dataset once, reuse
-                    # across epochs (DataLoader persistent_workers role)
+                    # across epochs (DataLoader persistent_workers role).
+                    # A pool whose worker hard-died is permanently broken —
+                    # replace it here (at acquisition, not in the crash
+                    # path: the consumer races ahead of producer cleanup).
+                    if self._pool is not None and getattr(
+                        self._pool, "_broken", False
+                    ):
+                        self._pool.shutdown(wait=False)
+                        self._pool = None
                     if self._pool is None:
                         self._pool = ProcessPoolExecutor(
                             self.num_workers, initializer=_init_worker,
@@ -134,6 +142,11 @@ class PrefetchLoader:
                 finally:
                     if self.worker_mode != "process":
                         pool.shutdown(wait=False)
+            except BaseException as e:  # noqa: BLE001 — reraised in consumer
+                # A raising __getitem__ or a hard-crashed worker process
+                # (BrokenProcessPool) must fail the training loop loudly,
+                # not silently end the epoch short.
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -144,6 +157,8 @@ class PrefetchLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield self.device_put(batch) if self.device_put else batch
         finally:
             stop.set()

@@ -73,6 +73,12 @@ class SwapConfig:
     # decode and is multiplied by the VAE downsample factor for encode.
     vae_tile: int = 0
     vae_tile_stride: int = 0  # 0 = vae_tile // 2
+    # Overlapping tiling for the UNet apply itself (the other half of
+    # split_input_params, ddpm.py:1530-1608: per-patch eps with the SAME
+    # crossattn cond, weighted fold). 0 = off; latent pixels. TPU-native:
+    # all tiles run as ONE batched UNet call, not a per-patch loop.
+    unet_tile: int = 0
+    unet_tile_stride: int = 0  # 0 = unet_tile // 2
     # exact CFG prefix dedup: compute the context-independent UNet prefix
     # once per CFG pair (UNetModel cfg_expand). Identical math to the
     # batch-doubled cfg_eps; ~10% less UNet compute.
@@ -145,6 +151,24 @@ class SwapModules:
         return c, uc
 
     def unet_eps(self, params, x9, t, context):
+        cfg = self.config
+        if cfg.unet_tile and x9.shape[1] > cfg.unet_tile:
+            # split_input_params UNet apply (ddpm.py:1530-1608): overlapping
+            # patches, same cond per patch, border-weighted fold of eps.
+            # unfold groups tile-major ([tile0 x B, tile1 x B, ...]), so
+            # t/context broadcast by whole-batch repetition.
+            from reface_tpu.parallel.tiling import tiled_apply
+
+            stride = cfg.unet_tile_stride or cfg.unet_tile // 2
+            b = x9.shape[0]
+
+            def fn(tiles):
+                n = tiles.shape[0] // b
+                tt = jnp.tile(t, (n,))
+                cc = jnp.tile(context, (n, 1, 1))
+                return self.unet.apply(params["unet"], tiles, tt, cc)
+
+            return tiled_apply(fn, x9, cfg.unet_tile, stride, out_channels=4)
         return self.unet.apply(params["unet"], x9, t, context)
 
     def unet_eps_cfg_dedup(self, params, x9, t, context_pair):
@@ -227,7 +251,9 @@ class FaceSwapper(SwapModules):
                 cfg_steps=cfg.cfg_steps or None,
                 dedup_model_fn=(
                     partial(self.unet_eps_cfg_dedup, params)
-                    if cfg.cfg_dedup else None
+                    # dedup's cfg_expand path bypasses unet_eps, so the
+                    # tiled apply wins over the prefix dedup when both are on
+                    if cfg.cfg_dedup and not cfg.unet_tile else None
                 ),
             )
         else:
@@ -238,7 +264,9 @@ class FaceSwapper(SwapModules):
                 cfg_steps=cfg.cfg_steps or None,
                 dedup_model_fn=(
                     partial(self.unet_eps_cfg_dedup, params)
-                    if cfg.cfg_dedup else None
+                    # dedup's cfg_expand path bypasses unet_eps, so the
+                    # tiled apply wins over the prefix dedup when both are on
+                    if cfg.cfg_dedup and not cfg.unet_tile else None
                 ),
             )
         return self.decode_latent(params, z)

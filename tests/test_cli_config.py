@@ -155,3 +155,48 @@ def test_deterministic_samplers_reject_eta():
         )
         with pytest.raises(ValueError, match="deterministic"):
             FaceSwapper(cfg, {})
+
+
+def test_unet_tiling_runs_swap():
+    """split_input_params UNet-apply parity (ddpm.py:1530-1608): with
+    unet_tile set, eps prediction runs as ONE batched UNet call over
+    overlapping latent tiles (same crossattn cond per tile) folded with
+    border weights. Sanity: single-tile configs (tile >= latent) are
+    bitwise the untiled path, and the pipeline stays finite end-to-end."""
+    base = tiny_swap_config(image_size=64, ddim_steps=2)
+    cfg = dataclasses.replace(base, unet_tile=4, unet_tile_stride=2)
+    params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    sw = FaceSwapper(cfg, params)
+    ks = jax.random.split(jax.random.key(1), 4)
+    out = sw.swap(
+        target_image=jax.random.uniform(ks[0], (1, 64, 64, 3), minval=-1, maxval=1),
+        inpaint_image=jax.random.uniform(ks[1], (1, 64, 64, 3), minval=-1, maxval=1),
+        inpaint_mask=jnp.ones((1, 64, 64, 1)),
+        ref_clip224=jax.random.normal(ks[2], (1, 224, 224, 3)),
+        key=ks[3],
+    )
+    assert out.shape == (1, 64, 64, 3)
+    assert bool(jnp.isfinite(out).all())
+
+    # direct eps check: tiled vs untiled agree in shape + finiteness; a
+    # tile covering the whole latent short-circuits to the untiled path
+    sw0 = FaceSwapper(base, params)
+    x9 = jax.random.normal(jax.random.key(7), (2, 8, 8, 9))
+    t = jnp.array([500, 100], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(8), (2, 1, 768))
+    e_tiled = np.asarray(sw.unet_eps(params, x9, t, ctx))
+    e_full = np.asarray(sw0.unet_eps(params, x9, t, ctx))
+    assert e_tiled.shape == e_full.shape == (2, 8, 8, 4)
+    assert np.isfinite(e_tiled).all()
+    big = dataclasses.replace(base, unet_tile=8)
+    e_big = np.asarray(
+        FaceSwapper(big, params).unet_eps(params, x9, t, ctx)
+    )
+    np.testing.assert_array_equal(e_big, e_full)
+
+    # tile-major cond broadcast: a per-sample context perturbation moves
+    # only that sample's tiled eps (catches a (B,n) vs (n,B) tile mixup)
+    ctx2 = ctx.at[1].add(5.0)
+    e2 = np.asarray(sw.unet_eps(params, x9, t, ctx2))
+    np.testing.assert_array_equal(e2[0], e_tiled[0])
+    assert np.abs(e2[1] - e_tiled[1]).max() > 1e-6
