@@ -47,6 +47,17 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--max-rounds", type=int, default=0,
+                    help="run only the first N plan rounds (0 = all); "
+                         "round 0 is the guidance-folding round and the "
+                         "memory-heaviest — use 1 for a chip fit/rate check")
+    ap.add_argument("--teacher-dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="store the frozen teacher tree in bf16 (forward-"
+                         "only; halves its resident HBM on a 16G chip)")
+    ap.add_argument("--mu-dtype", default=None, choices=[None, "bfloat16"],
+                    help="adam first-moment dtype (memory lever, same knob "
+                         "as cli/train.py)")
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args(argv)
     from reface_tpu.cli.common import apply_backend
@@ -92,6 +103,10 @@ def main(argv=None):
 
     teacher_unet = params["unet"]
     student_unet = jax.tree.map(lambda x: x, teacher_unet)  # init = teacher
+    if args.teacher_dtype == "bfloat16":
+        cast = lambda x: (x.astype(jnp.bfloat16)
+                          if jnp.issubdtype(x.dtype, jnp.floating) else x)
+        teacher_unet = jax.tree.map(cast, teacher_unet)
 
     # ---- data ----
     if args.dataset_dir:
@@ -142,7 +157,8 @@ def main(argv=None):
     # ---- per-round training ----
     def make_step(dcfg: DistillConfig, teacher_unet):
         loss_fn, tt, ts = make_distill_loss(dcfg)
-        opt = optax.adam(args.lr)
+        mu_dtype = jnp.bfloat16 if args.mu_dtype == "bfloat16" else None
+        opt = optax.adam(args.lr, mu_dtype=mu_dtype)
 
         def loss_of(student_unet, batch, key):
             p_t = {**params, "unet": teacher_unet}
@@ -178,6 +194,8 @@ def main(argv=None):
         return step, opt
 
     plan = distill_schedule_plan(args.teacher_steps, args.target_steps)
+    if args.max_rounds:
+        plan = plan[: args.max_rounds]
     print(f"[distill] round plan: {args.teacher_steps} -> {plan}")
     key = jax.random.key(args.seed + 1)
     gen = batches()
@@ -202,11 +220,20 @@ def main(argv=None):
                 student_unet, opt_state, next(gen), sub
             )
             if (it + 1) % args.log_every == 0 or it == 0:
+                # float() readback syncs the step (CLAUDE.md timing rules)
+                loss_v = float(m["distill_loss"])
                 dt = time.perf_counter() - t0
+                rate = (1 if it == 0 else it) / dt
                 print(f"[distill] r{round_i} it{it + 1} "
-                      f"loss={float(m['distill_loss']):.5f} "
+                      f"loss={loss_v:.5f} "
                       f"eps_mse={float(m['eps_mse']):.5f} "
-                      f"({(it + 1) / dt:.2f} it/s)")
+                      f"({rate:.3f} it/s"
+                      f"{' incl-compile' if it == 0 else ' post-compile'})")
+            if it == 0:
+                # restart the clock after the compile step so the printed
+                # rate is the steady-state step rate
+                float(m["distill_loss"])
+                t0 = time.perf_counter()
         teacher_unet = student_unet  # next round distills the student
         cur_teacher_steps = student_steps
 

@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=0, help="0 = all")
     ap.add_argument("--landmark-ckpt", default=None)
     ap.add_argument("--bisenet-ckpt", default=None)
+    ap.add_argument("--bench-json", action="store_true",
+                    help="print a steady-state frames/s JSON line "
+                         "(first batch excluded)")
     args = ap.parse_args(argv)
     apply_backend(args)
     if args.ddim_steps is None and not args.config and not args.overrides:
@@ -121,13 +124,34 @@ def main(argv=None):
 
     # the reader thread decodes/queues while the device swaps (host/device
     # pipelining — SURVEY.md hard-part #4)
+    import time
+
+    bench = {"t0": None, "frames": 0}
     while True:
         batch = frame_q.get()
         if batch is None:
             break
         count += len(batch)
         flush(batch)
+        # steady-state throughput clock: starts AFTER the first batch
+        # (compile + power ramp) completes; flush() fully materializes the
+        # outputs so this point is readback-synced (CLAUDE.md timing rules)
+        if bench["t0"] is None:
+            bench["t0"] = time.perf_counter()
+        else:
+            bench["frames"] += len(batch)
         print(f"[video] {count} frames")
+    if args.bench_json and bench["frames"]:
+        import json
+
+        fs = bench["frames"] / (time.perf_counter() - bench["t0"])
+        print(json.dumps({
+            "metric": f"video_frames_per_sec_ddim{args.ddim_steps}"
+                      f"_batch{args.frame_batch}",
+            "value": round(fs, 4), "unit": "frames/s",
+            "note": "end-to-end decode+align+parse+swap+paste-back+encode, "
+                    "first batch (compile/ramp) excluded",
+        }))
     cap.release()
     writer.release()
     # persist per-frame paste-back transforms (inv_transforms.npy parity)
