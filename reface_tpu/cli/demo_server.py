@@ -55,6 +55,13 @@ def make_server(argv=None):
     add_model_args(ap)
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--precropped", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="latency mode: serve each request through ONE XLA "
+                         "program (RawSwapPipeline.swap_images_fused) with "
+                         "uploads resized to --fused-frame so every request "
+                         "hits the same compiled shape")
+    ap.add_argument("--fused-frame", type=int, default=1024,
+                    help="frame bucket (square) for --fused uploads")
     ap.add_argument("--safety-ckpt", default=None,
                     help="StableDiffusionSafetyChecker state dict: flag/blur "
                          "NSFW outputs before returning them")
@@ -71,11 +78,16 @@ def make_server(argv=None):
         decode_keep_mask,
         default_inpaint_mask,
     )
-    from reface_tpu.pipelines.raw import RawSwapPipeline
+    from reface_tpu.pipelines.raw import (
+        RawPipelineConfig,
+        RawSwapPipeline,
+        tiny_raw_config,
+    )
     from reface_tpu.pipelines.swap import clip_normalize
 
     swapper = build_swapper(args)
-    pipe = None if args.precropped else RawSwapPipeline(swapper)
+    raw_cfg = tiny_raw_config() if args.tiny else RawPipelineConfig()
+    pipe = None if args.precropped else RawSwapPipeline(swapper, raw_cfg)
     safety = build_safety_checker(args.safety_ckpt)
     lock = threading.Lock()
     state = {"key": jax.random.key(args.seed)}
@@ -92,10 +104,24 @@ def make_server(argv=None):
             if pipe is not None:
                 # raw mode derives the mask from the parser; an uploaded
                 # mask applies only in --precropped mode
-                out01 = np.asarray(
-                    pipe.swap_images(jnp.asarray(tgt)[None],
-                                     jnp.asarray(src)[None], key=sub)[0]
-                )
+                if args.fused:
+                    # bucket uploads to one square frame so every request
+                    # reuses the single compiled program (one dispatch)
+                    f = args.fused_frame
+                    h, w = tgt.shape[:2]
+                    tgt_in = cv2.resize(tgt, (f, f))
+                    src_in = cv2.resize(src, (f, f))
+                    out01 = np.asarray(
+                        pipe.swap_images_fused(jnp.asarray(tgt_in)[None],
+                                               jnp.asarray(src_in)[None],
+                                               key=sub)[0]
+                    )
+                    out01 = cv2.resize(out01, (w, h))
+                else:
+                    out01 = np.asarray(
+                        pipe.swap_images(jnp.asarray(tgt)[None],
+                                         jnp.asarray(src)[None], key=sub)[0]
+                    )
             else:
                 # pre-cropped legacy mode (inference.py semantics): the user
                 # supplies aligned crops and optionally an explicit keep-mask;

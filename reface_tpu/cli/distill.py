@@ -86,6 +86,14 @@ def main(argv=None):
         if args.tiny
         else SwapConfig(image_size=args.image_size)
     )
+    # The distill step differentiates through the STUDENT UNet; the
+    # inference-default attention kernels (smalld Pallas) define no VJP —
+    # queue5 distill_rs died in linearization on exactly this. Reuse the
+    # training-mode resolver: flash attention + UNet block remat (the
+    # backward at 512px needs remat for the same reason cli/train does).
+    from reface_tpu.pipelines.train import TrainConfig, resolve_train_swap_cfg
+
+    swap_cfg = resolve_train_swap_cfg(swap_cfg, TrainConfig(), None)
     modules = SwapModules(swap_cfg)
 
     if args.teacher_ckpt:

@@ -74,6 +74,13 @@ def main(argv=None):
                     help="3DMM expression cosine (ddim_guided:460-508)")
     ap.add_argument("--d3dfr-ckpt", default=None,
                     help="D3DFR coeff net for --guidance exp")
+    ap.add_argument("--fused", action="store_true",
+                    help="latency mode: compile the whole raw path "
+                         "(detect+align+parse+swap+paste-back) as ONE XLA "
+                         "program — one device dispatch per image pair "
+                         "(RawSwapPipeline.swap_images_fused). XLA "
+                         "specializes on input shape: best when all frames "
+                         "share one resolution (each new (H,W) recompiles)")
     args = ap.parse_args(argv)
     apply_backend(args)
 
@@ -217,9 +224,15 @@ def main(argv=None):
     if args.head_swap:
         from reface_tpu.preprocess.masks import HEAD_SWAP_SEG12
 
-        raw_cfg = RawPipelineConfig(seg12_face_classes=HEAD_SWAP_SEG12)
+        seg12 = HEAD_SWAP_SEG12
     else:
-        raw_cfg = RawPipelineConfig()
+        from reface_tpu.pipelines.raw import DEFAULT_SEG12_FACE as seg12
+    if args.tiny:
+        from reface_tpu.pipelines.raw import tiny_raw_config
+
+        raw_cfg = tiny_raw_config(seg12_face_classes=seg12)
+    else:
+        raw_cfg = RawPipelineConfig(seg12_face_classes=seg12)
     if args.bisenet_ckpt:
         from reface_tpu.ckpt.convert import convert_bisenet, load_torch_state_dict
         from reface_tpu.nn.bisenet import BiSeNet
@@ -247,7 +260,8 @@ def main(argv=None):
         for tp in targets:
             tgt = _read01(tp)
             key, sub = jax.random.split(key)
-            out = pipe.swap_images(
+            swap_fn = pipe.swap_images_fused if args.fused else pipe.swap_images
+            out = swap_fn(
                 jnp.asarray(tgt)[None], jnp.asarray(src)[None], key=sub
             )
             name = (

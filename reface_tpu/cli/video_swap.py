@@ -50,10 +50,15 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from reface_tpu.pipelines.raw import RawSwapPipeline
+    from reface_tpu.pipelines.raw import (
+        RawPipelineConfig,
+        RawSwapPipeline,
+        tiny_raw_config,
+    )
 
     swapper = build_swapper(args)
-    pipe = RawSwapPipeline(swapper)
+    raw_cfg = tiny_raw_config() if args.tiny else RawPipelineConfig()
+    pipe = RawSwapPipeline(swapper, raw_cfg)
 
     cap = cv2.VideoCapture(args.video)
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0

@@ -33,7 +33,7 @@ from reface_tpu.pipelines.swap import FaceSwapper, clip_normalize
 from reface_tpu.preprocess.align import compute_align_quad, paste_back, quad_crop
 from reface_tpu.preprocess.masks import FACE_PARSING_TO_SEG12
 
-__all__ = ["RawPipelineConfig", "RawSwapPipeline"]
+__all__ = ["RawPipelineConfig", "RawSwapPipeline", "tiny_raw_config"]
 
 # seg12 classes treated as "face" for target removal / source preservation
 # (project.yaml:205-224 semantics: lip, eyebrows, eyes, nose, skin, ears, mouth)
@@ -47,6 +47,23 @@ class RawPipelineConfig:
     seg12_face_classes: tuple = DEFAULT_SEG12_FACE
     landmark: LandmarkNetConfig = LandmarkNetConfig()
     bisenet: BiSeNetConfig = BiSeNetConfig()
+
+
+def tiny_raw_config(
+    seg12_face_classes: tuple = DEFAULT_SEG12_FACE,
+) -> RawPipelineConfig:
+    """Smoke-size raw config paired with ``tiny_swap_config`` (64px
+    everything, fp32 on CPU) — what every driver's ``--tiny`` raw mode
+    uses so CLI smokes compile in seconds instead of tracing the 1024px
+    align / 512px parse towers at random init."""
+    return RawPipelineConfig(
+        align_size=64,
+        parse_size=64,
+        seg12_face_classes=seg12_face_classes,
+        landmark=LandmarkNetConfig(widths=(8, 16, 32, 32), input_size=64,
+                                   dtype=jnp.float32),
+        bisenet=BiSeNetConfig(dtype=jnp.float32),
+    )
 
 
 class RawSwapPipeline:
@@ -226,6 +243,47 @@ class RawSwapPipeline:
         return jax.vmap(
             lambda orig, crop, quad: paste_back(orig, crop, quad)
         )(target01, out_big, t_quads)
+
+    def swap_images_fused(
+        self,
+        target01: jnp.ndarray,
+        source01: jnp.ndarray,
+        key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """`swap_images` compiled as ONE XLA program (latency mode).
+
+        The eager path dispatches every pre/post stage (landmarks, align,
+        parse, paste-back) primitive-by-primitive — over the axon tunnel
+        each dispatch is a host round trip, which dominates batch-1 p50
+        latency. Here the entire raw path (one_inference.py:521-808
+        protocol) is a single jitted program: one dispatch, XLA fuses the
+        resize/warp glue into neighbours. Same ops in the same order as
+        `swap_images`; outputs agree to float-fusion tolerance (measured
+        max |delta| ~1e-3 on [0,1] images — fusion boundaries move, and
+        ~1e-4 landmark drift reseats the align quad; see
+        tests/test_raw_pipeline.py::test_fused_raw_path_matches_eager).
+
+        All param trees are jit ARGUMENTS, not closure captures: jitting
+        the bound method bakes the 860M-param swapper tree into the MLIR
+        as 2.67G of dense constants, which broke the axon remote-compile
+        upload (queue5 p50_fused: Broken pipe) and would bloat any AOT
+        cache. tests/test_raw_pipeline.py::test_fused_raw_captures_no_
+        large_constants guards the regression."""
+        key = key if key is not None else jax.random.key(0)
+        if not hasattr(self, "_jit_raw"):
+            import copy
+
+            def run(swap_params, lm_params, bn_params, tgt, src, k):
+                sub = copy.copy(self)
+                sub.swapper = copy.copy(self.swapper)
+                sub.swapper.params = swap_params
+                sub.landmark_params = lm_params
+                sub.bisenet_params = bn_params
+                return RawSwapPipeline.swap_images(sub, tgt, src, k)
+
+            self._jit_raw = jax.jit(run)
+        return self._jit_raw(self.swapper.params, self.landmark_params,
+                             self.bisenet_params, target01, source01, key)
 
     def face_presence(self, target01: jnp.ndarray,
                       min_area_frac: float = 2e-3) -> jnp.ndarray:

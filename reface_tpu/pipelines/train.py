@@ -75,6 +75,15 @@ class TrainConfig:
     # standard large-model practice when a chip is memory-bound; float32
     # is the reference-parity default.
     mu_dtype: Optional[str] = None
+    # UNet block rematerialization for the training step. The inference
+    # SwapConfig ships unet.remat=False; training at 512px needs it (the
+    # k-step recon scan's pullback otherwise SAVES every per-step UNet
+    # activation — fp32 GroupNorm-reshape residuals padded up to 6.4x —
+    # measured 11.53G of XLA temps, OOM on a 16G v5e, vs 3.7G with remat).
+    # True: force remat on (default). False: honor swap_cfg.unet.remat
+    # as given (the compile-bisection escape hatch, bench_train_step
+    # --no-remat).
+    force_unet_remat: bool = True
 
 
 def trainable_labels(params: dict[str, Any]):
@@ -147,6 +156,37 @@ class TrainState:
                           ema)
 
 
+def resolve_train_swap_cfg(swap_cfg: SwapConfig, train_cfg: TrainConfig,
+                           recon) -> SwapConfig:
+    """Training-mode overrides of an (inference-defaulted) SwapConfig.
+
+    - smalld inference attention kernels define no VJP; self-attention
+      routes through the differentiable flash path
+    - the recon loss differentiates through the VAE decoder; without block
+      remat its 512px backward alone allocates ~14.5G of XLA temps
+      (tools/probe_split_mem.py) — more than a whole v5e
+    - UNet block remat (TrainConfig.force_unet_remat): the inference
+      default remat=False makes the k-step recon scan's pullback save
+      every per-step UNet activation (fp32 GroupNorm-reshape residuals,
+      (k,B,64,64,32,C/32) tiles padded up to 6.4x) — measured 11.53G of
+      XLA temps, OOM on a 16G v5e, vs 3.7G with remat
+    """
+    if swap_cfg.unet.attn_impl in ("auto", "fast"):
+        swap_cfg = dataclasses.replace(
+            swap_cfg,
+            unet=dataclasses.replace(swap_cfg.unet, attn_impl="flash"),
+        )
+    if recon is not None and not swap_cfg.vae.remat:
+        swap_cfg = dataclasses.replace(
+            swap_cfg, vae=dataclasses.replace(swap_cfg.vae, remat=True)
+        )
+    if train_cfg.force_unet_remat and not swap_cfg.unet.remat:
+        swap_cfg = dataclasses.replace(
+            swap_cfg, unet=dataclasses.replace(swap_cfg.unet, remat=True)
+        )
+    return swap_cfg
+
+
 def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
                     recon: "ReconLossConfig | None" = None):
     """Returns (train_step, loss_fn, init_state). Batch keys:
@@ -160,20 +200,7 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
     from reface_tpu.nn.arcface import ARC_FACE_CROP
     from reface_tpu.nn.lpips import LPIPS
 
-    # the smalld inference attention kernels define no VJP; training routes
-    # self-attention through the differentiable flash/einsum paths
-    if swap_cfg.unet.attn_impl in ("auto", "fast"):
-        swap_cfg = dataclasses.replace(
-            swap_cfg,
-            unet=dataclasses.replace(swap_cfg.unet, attn_impl="flash"),
-        )
-    if recon is not None and not swap_cfg.vae.remat:
-        # the recon loss differentiates through the decoder; without block
-        # remat its 512px backward alone allocates ~14.5G of XLA temps
-        # (tools/probe_split_mem.py) — more than a whole v5e
-        swap_cfg = dataclasses.replace(
-            swap_cfg, vae=dataclasses.replace(swap_cfg.vae, remat=True)
-        )
+    swap_cfg = resolve_train_swap_cfg(swap_cfg, train_cfg, recon)
     swapper_model = SwapModules(swap_cfg)
     lpips_model = LPIPS()
     schedule = DiffusionSchedule.create(timesteps=train_cfg.num_timesteps)

@@ -85,3 +85,36 @@ def test_demo_server_multipart_upload_roundtrip():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_demo_server_fused_raw_mode():
+    """--fused serves the raw path through ONE compiled XLA program with
+    uploads bucketed to --fused-frame; the response comes back at the
+    ORIGINAL upload resolution (the bucket resize is internal)."""
+    from reface_tpu.cli.demo_server import make_server
+
+    server = make_server(["--backend", "cpu", "--tiny", "--fused",
+                          "--fused-frame", "96", "--port", "0"])
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        rng = np.random.default_rng(1)
+        src = rng.integers(0, 255, (72, 72, 3), dtype=np.uint8)
+        tgt = rng.integers(0, 255, (80, 88, 3), dtype=np.uint8)
+        body, ctype = _multipart({"source": _png(src), "target": _png(tgt)})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/process_images", data=body,
+            headers={"Content-Type": ctype}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            assert resp.status == 200
+            png = resp.read()
+        import cv2
+
+        out = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
+        assert out is not None
+        assert out.shape == tgt.shape  # original resolution restored
+    finally:
+        server.shutdown()
+        server.server_close()

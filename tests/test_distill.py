@@ -183,3 +183,39 @@ def test_distill_training_tiny_converges():
     err_trained = float(jnp.mean((run_student(p) - ref) ** 2))
     err_init = float(jnp.mean((run_student(params) - ref) ** 2))
     assert err_trained < 0.5 * err_init
+
+
+def test_distill_cli_tiny_smoke(tmp_path, monkeypatch):
+    """End-to-end tiny run of the distill driver: one round, one step,
+    writes a servable params dir + manifest. Also asserts the CLI routes
+    its swap config through resolve_train_swap_cfg — the student backward
+    needs the differentiable flash attention path (the smalld inference
+    kernels define no VJP; queue5 distill_rs died in linearization on the
+    chip, which CPU tests can't reproduce because attention only routes to
+    Pallas when jax.default_backend() == 'tpu')."""
+    import json
+
+    import reface_tpu.pipelines.train as T
+
+    seen = {}
+    orig = T.resolve_train_swap_cfg
+
+    def spy(cfg, tc, recon):
+        r = orig(cfg, tc, recon)
+        seen["attn"] = r.unet.attn_impl
+        seen["remat"] = r.unet.remat
+        return r
+
+    monkeypatch.setattr(T, "resolve_train_swap_cfg", spy)
+
+    from reface_tpu.cli.distill import main as distill_main
+
+    out = tmp_path / "student"
+    distill_main([
+        "--out", str(out), "--tiny", "--backend", "cpu",
+        "--steps-per-round", "1", "--batch-size", "1", "--max-rounds", "1",
+        "--teacher-steps", "4", "--target-steps", "2", "--log-every", "1",
+    ])
+    assert seen["attn"] == "flash" and seen["remat"]
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["ddim_steps"] == 2 and manifest["cfg_scale"] == 1.0

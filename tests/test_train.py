@@ -294,3 +294,31 @@ def test_split_grad_step_matches_monolith():
         for a, b in zip(flat_m, flat_s):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6)
+
+
+def test_resolve_train_swap_cfg_forces_remat():
+    """cli/train.py builds the default (inference) SwapConfig — remat=False,
+    attn auto. Training must flip UNet+VAE remat on (the unremat'd recon
+    pullback measured 11.53G of XLA temps -> OOM on a 16G v5e) and route
+    attention through the differentiable flash path. force_unet_remat=False
+    is the bench_train_step --no-remat bisection escape hatch."""
+    from reface_tpu.diffusion.losses import ReconLossConfig
+    from reface_tpu.pipelines.swap import SwapConfig
+    from reface_tpu.pipelines.train import TrainConfig, resolve_train_swap_cfg
+
+    base = SwapConfig()
+    assert not base.unet.remat  # inference default this test guards against
+
+    r = resolve_train_swap_cfg(base, TrainConfig(), ReconLossConfig())
+    assert r.unet.remat and r.vae.remat
+    assert r.unet.attn_impl == "flash"
+
+    # eps-only training still remats the UNet (matches the measured
+    # 159.4 ms/step config), but leaves the un-differentiated VAE alone
+    r = resolve_train_swap_cfg(base, TrainConfig(), None)
+    assert r.unet.remat and not r.vae.remat
+
+    # escape hatch honors the caller's explicit remat=False
+    r = resolve_train_swap_cfg(
+        base, TrainConfig(force_unet_remat=False), None)
+    assert not r.unet.remat

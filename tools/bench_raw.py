@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--cfg-scale", type=float, default=3.5,
                     help="one_inference.py single-swap protocol scale")
     ap.add_argument("--iters", type=int, default=7)
+    ap.add_argument("--fused", action="store_true",
+                    help="compile the WHOLE raw path as one XLA program "
+                         "(RawSwapPipeline.swap_images_fused) instead of "
+                         "eager stage dispatch")
+    ap.add_argument("--stages", action="store_true",
+                    help="also print a per-stage latency breakdown "
+                         "(eager path, readback-synced per stage)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -90,18 +97,50 @@ def main():
     tgt = jax.random.uniform(jax.random.key(1), (b, frame, frame, 3))
     src = jax.random.uniform(jax.random.key(2), (b, frame, frame, 3))
 
+    swap_fn = pipe.swap_images_fused if args.fused else pipe.swap_images
+
     # compile + warm
-    out = pipe.swap_images(tgt, src, key=jax.random.key(3))
+    out = swap_fn(tgt, src, key=jax.random.key(3))
     _ = float(jnp.mean(out))
 
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        out = pipe.swap_images(tgt, src, key=jax.random.key(4 + i))
+        out = swap_fn(tgt, src, key=jax.random.key(4 + i))
         _ = float(jnp.mean(out))  # forces completion over the tunnel
         times.append(time.perf_counter() - t0)
     p50 = statistics.median(times)
     variant = "_tiny" if args.tiny else ""
+    if args.fused:
+        variant += "_fused"
+
+    if args.stages:
+        # per-stage attribution of the EAGER path (each stage ends in a
+        # scalar readback, so stage sums exceed the pipelined total)
+        from reface_tpu.preprocess.align import paste_back
+
+        def timed(name, fn):
+            t0 = time.perf_counter()
+            r = fn()
+            jax.tree.map(
+                lambda x: float(jnp.ravel(x)[0])
+                if hasattr(x, "dtype") else x, r)
+            print(f"# stage {name}: {time.perf_counter() - t0:.3f}s")
+            return r
+
+        for rep in range(2):  # rep 0 warms any per-stage compiles
+            print(f"# --- stage breakdown rep {rep} ---")
+            t_lm = timed("detect_landmarks(target)",
+                         lambda: pipe.detect_landmarks(tgt))
+            t_crop, t_quads = timed("align(target)",
+                                    lambda: pipe.align(tgt, t_lm))
+            ref224 = timed("source_reference",
+                           lambda: pipe._source_reference(src))
+            out_big = timed("swap_aligned(parse+mask+ddim)",
+                            lambda: pipe._swap_aligned(
+                                t_crop, ref224, jax.random.key(9)))
+            timed("paste_back", lambda: jax.vmap(paste_back)(
+                tgt, out_big, t_quads))
     print(json.dumps({
         "metric": f"single_swap_p50_latency{variant}",
         "value": round(p50, 4),

@@ -100,7 +100,9 @@ def main():
     step_fn, loss_fn, init_state = make_train_step(
         swap_cfg, TrainConfig(split_grad=args.split_grad,
                               split_acc_dtype=args.acc_dtype,
-                              mu_dtype=args.mu_dtype),
+                              mu_dtype=args.mu_dtype,
+                              # honor --no-remat as a real A/B knob
+                              force_unet_remat=not args.no_remat),
         recon=recon
     )
     state = init_state(params)
