@@ -62,7 +62,8 @@ def main():
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "fast", "flash", "einsum"],
                     help="self-attention kernel (fast = serving mode)")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int8conv"],
                     help="serving mode: int8 MXU matmuls for the "
                          "transformer blocks (QKV/out + GEGLU FF)")
     args = ap.parse_args()

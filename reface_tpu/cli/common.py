@@ -45,7 +45,8 @@ def add_model_args(ap):
                     choices=["auto", "fast", "flash", "einsum"],
                     help="self-attention kernel (fast = bf16-prob serving "
                          "mode; see ops/attention.py; default auto)")
-    ap.add_argument("--quant", default=None, choices=["none", "int8"],
+    ap.add_argument("--quant", default=None,
+                    choices=["none", "int8", "int8conv"],
                     help="serving mode: int8 MXU matmuls in the transformer "
                          "blocks (ops/quant.py; default none)")
     ap.add_argument("--sampler", default=None, choices=["ddim", "plms", "dpm"],

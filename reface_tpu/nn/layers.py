@@ -23,7 +23,12 @@ class QDense(nn.Module):
     """nn.Dense-compatible layer (same param tree: kernel fp32 lecun-normal
     + bias zeros) whose matmul optionally runs int8 x int8 -> int32 on the
     MXU (ops/quant.py) — the serving-mode quantization path. quant="none"
-    reproduces nn.Dense exactly."""
+    reproduces nn.Dense exactly; quant="int8conv" also keeps the matmul in
+    the requested dtype (the conv-only quantization mode: the round-4 chain
+    ablation measured the int8 TRANSFORMER side ~1.4 ms/fwd SLOWER than
+    bf16 — quantize/dequantize VPU cost exceeds the MXU gain there — while
+    the conv side saves 2.37 ms, see BENCH_LOG 'Round-4 conv-side
+    attribution')."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -70,7 +75,7 @@ class QConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         pad = [(self.padding, self.padding)] * 2
-        if self.quant == "int8":
+        if self.quant in ("int8", "int8conv"):
             from reface_tpu.ops.quant import int8_conv
 
             y = int8_conv(x, kernel, padding=pad, out_dtype=self.dtype)

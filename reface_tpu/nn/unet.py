@@ -57,7 +57,10 @@ class UNetConfig:
     # "int8": serving-mode MXU int8 for the transformer matmuls (self-attn
     # QKV/out + GEGLU FF) AND the ResBlock convs (ops/quant.py);
     # cross-attention (M=1 exact shortcut), stem/head and up/downsample
-    # convs stay bf16. Quantify deltas via compare_modes.
+    # convs stay bf16. "int8conv": ResBlock convs only — the transformer
+    # matmuls keep exact bf16 math (the round-4 ablation measured int8
+    # a net LOSS on the transformer side, a win on the conv side).
+    # Quantify deltas via compare_modes.
     quant: str = "none"
 
 

@@ -47,8 +47,9 @@ class VAEConfig:
     # (tools/probe_split_mem.py), which alone OOMs a 16G v5e. Training
     # enables this; inference (no backward) is unaffected by the flag.
     remat: bool = False
-    # "int8": serving-mode MXU int8 for the ResnetBlock convs (ops/quant);
-    # mid attention, stem/head and up/downsample convs stay bf16
+    # "int8"/"int8conv": serving-mode MXU int8 for the ResnetBlock convs
+    # (ops/quant); mid attention, stem/head and up/downsample convs stay
+    # bf16 (both modes are identical here — the VAE has no QDense sites)
     quant: str = "none"
 
 

@@ -210,3 +210,41 @@ def test_int8_full_swap_pipeline_close_to_exact():
     # output range is [-1, 1]; int8 deltas accumulated over the sampler
     # stay well under this at tiny size (measured ~0.05 max)
     assert d.max() < 0.5
+
+
+def test_int8conv_quantizes_convs_not_transformer():
+    """quant="int8conv" (round 4): ResBlock/ResnetBlock convs run the int8
+    path (output differs from fp32), while the transformer matmuls keep
+    EXACT dense math (TransformerBlock output bitwise-equals quant="none").
+    Motivated by the round-4 chain ablation: int8 on the transformer side
+    is a net loss (quantize/dequantize VPU cost > MXU gain), on the conv
+    side a 2.37 ms/fwd win (BENCH_LOG 'Round-4 conv-side attribution')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reface_tpu.nn.unet import ResBlock, TransformerBlock
+
+    x = jax.random.normal(jax.random.key(0), (2, 64, 96))
+    ctx = jax.random.normal(jax.random.key(1), (2, 1, 768))
+    b0 = TransformerBlock(96, 4, 768, dtype=jnp.float32, attn_impl="einsum")
+    b1 = TransformerBlock(96, 4, 768, dtype=jnp.float32, attn_impl="einsum",
+                          quant="int8conv")
+    p = b0.init(jax.random.key(2), x, ctx)
+    np.testing.assert_array_equal(
+        np.asarray(b0.apply(p, x, ctx)), np.asarray(b1.apply(p, x, ctx))
+    )
+
+    xr = jax.random.normal(jax.random.key(3), (2, 8, 8, 24))
+    emb = jax.random.normal(jax.random.key(4), (2, 48))
+    r0 = ResBlock(32, dtype=jnp.float32)
+    r1 = ResBlock(32, dtype=jnp.float32, quant="int8conv")
+    pr = r0.init(jax.random.key(5), xr, emb)
+    assert jax.tree.structure(pr) == jax.tree.structure(
+        r1.init(jax.random.key(5), xr, emb)
+    )
+    o0 = np.asarray(r0.apply(pr, xr, emb))
+    o1 = np.asarray(r1.apply(pr, xr, emb))
+    d = np.abs(o0 - o1)
+    assert d.max() > 0, "int8conv conv path not exercised"
+    assert d.max() / np.abs(o0).max() < 0.05

@@ -34,7 +34,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--context-tokens", type=int, default=1)
     ap.add_argument("--fused-gn", action="store_true")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int8conv"])
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "fast", "flash", "einsum"])
     ap.add_argument("--ablate", default="none",

@@ -97,6 +97,11 @@ def main():
         # UNet transformer blocks + ResBlock convs + VAE ResnetBlock convs.
         "int8_ddim50": SwapConfig(unet=UNetConfig(quant="int8"),
                                   vae=VAEConfig(quant="int8")),
+        # conv-only int8 (--quant int8conv): the transformer matmuls keep
+        # exact bf16 math, so the numerics delta comes from the ResBlock +
+        # VAE ResnetBlock convs alone — strictly tighter than full int8
+        "int8conv_ddim50": SwapConfig(unet=UNetConfig(quant="int8conv"),
+                                      vae=VAEConfig(quant="int8conv")),
     }
     base_cfg = modes["exact_ddim50"]
     base_params = params_for(base_cfg)
