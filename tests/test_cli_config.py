@@ -166,6 +166,21 @@ def test_unet_tiling_runs_swap():
     base = tiny_swap_config(image_size=64, ddim_steps=2)
     cfg = dataclasses.replace(base, unet_tile=4, unet_tile_stride=2)
     params = FaceSwapper.init_params(cfg, jax.random.key(0))
+    # SD zero-inits the residual-gate kernels (out_conv, proj_out) — at
+    # random init those zeros disconnect the transformer blocks, making the
+    # context-perturbation assertion below vacuously fail. Fill all-zero
+    # kernels with small noise (same recipe as tools/compare_modes.py).
+    cnt = [0]
+
+    def _fill(x):
+        if x.ndim >= 2 and not np.any(np.asarray(x)):
+            cnt[0] += 1
+            return 0.05 * jax.random.normal(jax.random.key(cnt[0]),
+                                            x.shape, x.dtype)
+        return x
+
+    params = jax.tree.map(_fill, params)
+    assert cnt[0] > 0
     sw = FaceSwapper(cfg, params)
     ks = jax.random.split(jax.random.key(1), 4)
     out = sw.swap(
