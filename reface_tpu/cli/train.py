@@ -217,6 +217,21 @@ def main(argv=None):
         try:
             state = load_train_state(args.resume, state)
             resume_step = int(jax.device_get(state.step))
+            # The restored tree is host numpy (uploaded lazily at the first
+            # step); the fresh-init device params are now dead weight but
+            # stay resident through this local — measured on the 16G chip:
+            # init fp32 params (3.4G) + the uploaded restored state put the
+            # first resumed step over HBM (RESOURCE_EXHAUSTED). Free them —
+            # unless the state's EMA fell back to the init EmaState, whose
+            # shadow ALIASES these arrays (EmaState.create is jnp.asarray).
+            if state.ema is None or not any(
+                r is p for r, p in zip(jax.tree.leaves(state.ema),
+                                       jax.tree.leaves(params["unet"]))
+            ):
+                for leaf in jax.tree.leaves(params):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+                params = None
             print(f"[train] resumed FULL train state at step {resume_step} "
                   f"from {args.resume}")
         except Exception as e:
@@ -423,6 +438,13 @@ def main(argv=None):
         checkpoint("crash_last")  # melk() parity: save before re-raising
         raise
     checkpoint("last")
+    if step == resume_step:
+        # a silent no-op run is almost always a config error, e.g. a batch
+        # size that doesn't divide the mesh's data axis (the loader drops
+        # every batch) or an empty dataset slice on this process
+        print(f"[train] WARNING: no steps ran (still at step {step}) — "
+              f"check batch size divisibility by the data-axis size "
+              f"({jax.device_count()} devices) and the dataset slice")
     print(f"[train] done at step {step}")
 
 

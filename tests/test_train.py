@@ -322,3 +322,47 @@ def test_resolve_train_swap_cfg_forces_remat():
     r = resolve_train_swap_cfg(
         base, TrainConfig(force_unet_remat=False), None)
     assert not r.unet.remat
+
+
+def test_cli_train_resume_frees_init_params(tmp_path):
+    """CLI-level resume: a fresh tiny run checkpoints, a second process
+    restores it and continues. Exercises the cli/train.py resume branch
+    that frees the fresh-init device params after a successful full-state
+    restore — on the 16G chip the leaked init fp32 params (3.4G) plus the
+    uploaded restored state put the first resumed step over HBM
+    (RESOURCE_EXHAUSTED, observed round 4); `.delete()` semantics are
+    identical on the CPU backend so this guards the code path."""
+    import os
+    import subprocess
+    import sys
+
+    from reface_tpu.data.synthetic import make_synthetic_celeba
+
+    data = str(tmp_path / "data")
+    make_synthetic_celeba(data, 0, 3, size=64)
+    logdir = str(tmp_path / "run")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # The suite's conftest exports an 8-virtual-device CPU topology; batch 1
+    # doesn't divide an 8-way data axis (the loader would drop every batch
+    # and the run would no-op at step 0). Pin the subprocess to 1 device.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    base = [sys.executable, "-m", "reface_tpu.cli.train",
+            "--backend", "cpu", "--tiny", "--image-size", "64",
+            "--dataset-dir", data, "--logdir", logdir,
+            "--batch-size", "1", "--train-count", "3",
+            "--log-every", "1", "--image-log-every", "1000000",
+            "--epochs", "100"]
+    r1 = subprocess.run(base + ["--steps", "2", "--ckpt-every", "2"],
+                        capture_output=True, text=True, env=env, timeout=900)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.isdir(os.path.join(logdir, "checkpoints", "last"))
+
+    r2 = subprocess.run(
+        base + ["--steps", "3", "--ckpt-every", "1000",
+                "--resume", os.path.join(logdir, "checkpoints", "last")],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed FULL train state at step 2" in r2.stdout
+    assert "done at step 3" in r2.stdout
