@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -109,12 +110,16 @@ def main(argv=None):
               "infrastructure smoke only")
         params = FaceSwapper.init_params(swap_cfg, jax.random.key(args.seed))
 
-    teacher_unet = params["unet"]
-    student_unet = jax.tree.map(lambda x: x, teacher_unet)  # init = teacher
+    # The update step DONATES the student tree, so the teacher must never
+    # alias it: both the bf16 cast and jnp.array produce fresh buffers.
     if args.teacher_dtype == "bfloat16":
-        cast = lambda x: (x.astype(jnp.bfloat16)
-                          if jnp.issubdtype(x.dtype, jnp.floating) else x)
-        teacher_unet = jax.tree.map(cast, teacher_unet)
+        teacher_cast = lambda x: (x.astype(jnp.bfloat16)
+                                  if jnp.issubdtype(x.dtype, jnp.floating)
+                                  else x)
+    else:
+        teacher_cast = jnp.array
+    student_unet = params["unet"]  # init = teacher weights
+    teacher_unet = jax.tree.map(teacher_cast, params["unet"])
 
     # ---- data ----
     if args.dataset_dir:
@@ -163,14 +168,19 @@ def main(argv=None):
                 }
 
     # ---- per-round training ----
-    def make_step(dcfg: DistillConfig, teacher_unet):
+    def make_step(dcfg: DistillConfig):
         loss_fn, tt, ts = make_distill_loss(dcfg)
         mu_dtype = jnp.bfloat16 if args.mu_dtype == "bfloat16" else None
         opt = optax.adam(args.lr, mu_dtype=mu_dtype)
 
-        def loss_of(student_unet, batch, key):
-            p_t = {**params, "unet": teacher_unet}
-            p_s = {**params, "unet": student_unet}
+        # teacher_unet and the frozen tower params MUST be jit ARGUMENTS,
+        # not closure captures: captured trees are baked into the MLIR as
+        # dense constants (~2.5G at real size here) and the remote-compile
+        # upload over the tunnel dies with a transport error — the same
+        # failure mode fixed for swap_images_fused (pipelines/raw.py).
+        def loss_of(student_unet, teacher_unet, frozen, batch, key):
+            p_t = {**frozen, "unet": teacher_unet}
+            p_s = {**frozen, "unet": student_unet}
             c, uc = modules.build_context(
                 p_t, batch["ref_clip224"], batch["target_image"], None
             )
@@ -191,10 +201,10 @@ def main(argv=None):
             )
             return loss_fn(student_fn, teacher_fn, z0, rest, c, uc, key)
 
-        @jax.jit
-        def step(student_unet, opt_state, batch, key):
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(student_unet, opt_state, teacher_unet, frozen, batch, key):
             (loss, m), g = jax.value_and_grad(loss_of, has_aux=True)(
-                student_unet, batch, key
+                student_unet, teacher_unet, frozen, batch, key
             )
             up, opt_state = opt.update(g, opt_state)
             return optax.apply_updates(student_unet, up), opt_state, m
@@ -217,7 +227,8 @@ def main(argv=None):
             teacher_steps=cur_teacher_steps, student_steps=student_steps,
             cfg_scale=scale, fold_cfg=fold,
         )
-        step, opt = make_step(dcfg, teacher_unet)
+        step, opt = make_step(dcfg)
+        frozen = {k: v for k, v in params.items() if k != "unet"}
         opt_state = opt.init(student_unet)
         print(f"[distill] round {round_i}: {cur_teacher_steps} -> "
               f"{student_steps} steps, cfg={scale}, fold={dcfg.fold_cfg}")
@@ -225,7 +236,7 @@ def main(argv=None):
         for it in range(args.steps_per_round):
             key, sub = jax.random.split(key)
             student_unet, opt_state, m = step(
-                student_unet, opt_state, next(gen), sub
+                student_unet, opt_state, teacher_unet, frozen, next(gen), sub
             )
             if (it + 1) % args.log_every == 0 or it == 0:
                 # float() readback syncs the step (CLAUDE.md timing rules)
@@ -242,7 +253,9 @@ def main(argv=None):
                 # rate is the steady-state step rate
                 float(m["distill_loss"])
                 t0 = time.perf_counter()
-        teacher_unet = student_unet  # next round distills the student
+        # next round distills the student; copy (or cast) so the new
+        # teacher doesn't alias the donated student tree
+        teacher_unet = jax.tree.map(teacher_cast, student_unet)
         cur_teacher_steps = student_steps
 
     from reface_tpu.ckpt.io import save_params
