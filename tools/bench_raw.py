@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--stages", action="store_true",
                     help="also print a per-stage latency breakdown "
                          "(eager path, readback-synced per stage)")
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int8conv"],
+                    help="serving quant mode for the swap core (same knob "
+                         "as bench.py; the pre/post towers stay bf16)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -69,6 +73,12 @@ def main():
     if args.tiny:
         swap_cfg = tiny_swap_config(image_size=64, ddim_steps=2)
         swap_cfg = dataclasses.replace(swap_cfg, cfg_scale=args.cfg_scale)
+        if args.quant != "none":
+            swap_cfg = dataclasses.replace(
+                swap_cfg,
+                unet=dataclasses.replace(swap_cfg.unet, quant=args.quant),
+                vae=dataclasses.replace(swap_cfg.vae, quant=args.quant),
+            )
         raw_cfg = RawPipelineConfig(
             align_size=64, parse_size=64,
             landmark=LandmarkNetConfig(widths=(8, 16, 32, 32), input_size=64,
@@ -77,7 +87,14 @@ def main():
         )
         frame = 96
     else:
-        swap_cfg = SwapConfig(ddim_steps=args.steps, cfg_scale=args.cfg_scale)
+        from reface_tpu.nn.unet import UNetConfig
+        from reface_tpu.nn.vae import VAEConfig
+
+        swap_cfg = SwapConfig(
+            ddim_steps=args.steps, cfg_scale=args.cfg_scale,
+            unet=UNetConfig(quant=args.quant),
+            vae=VAEConfig(quant=args.quant),
+        )
         raw_cfg = RawPipelineConfig()
         frame = args.frame
 
@@ -113,6 +130,8 @@ def main():
     variant = "_tiny" if args.tiny else ""
     if args.fused:
         variant += "_fused"
+    if args.quant != "none":
+        variant += f"_{args.quant}"
 
     if args.stages:
         # per-stage attribution of the EAGER path (each stage ends in a
