@@ -124,7 +124,8 @@ def resolve_swap_config(args):
         cli["sampler"] = args.sampler
     if getattr(args, "discretize", None) is not None:
         cli["ddim_discretize"] = args.discretize
-    elif args.sampler == "dpm" and base.ddim_discretize == "uniform":
+    elif (cli.get("sampler", base.sampler) == "dpm"
+          and base.ddim_discretize == "uniform"):
         # DPM-Solver++'s 2nd-order advantage assumes the lam-uniform grid;
         # the t-uniform grid's terminal lam-jump (t=101->1 spans lam
         # 1.06->3.19 on the SD schedule) degrades it to near-DDIM quality

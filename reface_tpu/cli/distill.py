@@ -111,13 +111,17 @@ def main(argv=None):
         params = FaceSwapper.init_params(swap_cfg, jax.random.key(args.seed))
 
     # The update step DONATES the student tree, so the teacher must never
-    # alias it: both the bf16 cast and jnp.array produce fresh buffers.
+    # alias it: both branches produce fresh ON-DEVICE buffers. device_put
+    # matters twice over — a host-numpy tree (the --teacher-ckpt path:
+    # load_params restores into np.zeros targets) passed as a jit argument
+    # is re-uploaded EVERY step (~multi-GB over the ~5 MB/s tunnel), and
+    # numpy.astype(bfloat16) stays a numpy array.
     if args.teacher_dtype == "bfloat16":
-        teacher_cast = lambda x: (x.astype(jnp.bfloat16)
-                                  if jnp.issubdtype(x.dtype, jnp.floating)
-                                  else x)
+        teacher_cast = lambda x: jax.device_put(
+            x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else jnp.array(x))
     else:
-        teacher_cast = jnp.array
+        teacher_cast = lambda x: jax.device_put(jnp.array(x))
     student_unet = params["unet"]  # init = teacher weights
     teacher_unet = jax.tree.map(teacher_cast, params["unet"])
 
@@ -228,7 +232,10 @@ def main(argv=None):
             cfg_scale=scale, fold_cfg=fold,
         )
         step, opt = make_step(dcfg)
-        frozen = {k: v for k, v in params.items() if k != "unet"}
+        # device_put once: a host-numpy frozen tree (--teacher-ckpt path)
+        # as a jit argument would re-upload every step (see teacher_cast)
+        frozen = jax.device_put(
+            {k: v for k, v in params.items() if k != "unet"})
         opt_state = opt.init(student_unet)
         print(f"[distill] round {round_i}: {cur_teacher_steps} -> "
               f"{student_steps} steps, cfg={scale}, fold={dcfg.fold_cfg}")

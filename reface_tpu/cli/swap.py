@@ -90,6 +90,17 @@ def main(argv=None):
     from reface_tpu.pipelines.raw import RawPipelineConfig, RawSwapPipeline
     from reface_tpu.pipelines.swap import clip_normalize
 
+    if args.guidance and args.fused:
+        # swap_images_fused passes the param tree as jit ARGUMENTS to
+        # keep multi-GB constants out of the MLIR (pipelines/raw.py);
+        # the guided monkeypatch below binds the ORIGINAL swapper, so
+        # tracing it inside the fused program would read the concrete
+        # self.params and bake them in as dense constants — the exact
+        # remote-compile failure that plumbing prevents.
+        raise SystemExit("--fused cannot be combined with --guidance: "
+                         "the gradient-guided sampler runs eager "
+                         "(per-stage) only")
+
     swapper = build_swapper(args)
     size = swapper.config.image_size
 

@@ -151,7 +151,10 @@ def main(argv=None):
 
         fs = bench["frames"] / (time.perf_counter() - bench["t0"])
         print(json.dumps({
-            "metric": f"video_frames_per_sec_ddim{args.ddim_steps}"
+            # swapper.config is the RESOLVED step count (args.ddim_steps is
+            # None when the protocol comes from --config/--overrides)
+            "metric": f"video_frames_per_sec_ddim"
+                      f"{swapper.config.ddim_steps}"
                       f"_batch{args.frame_batch}",
             "value": round(fs, 4), "unit": "frames/s",
             "note": "end-to-end decode+align+parse+swap+paste-back+encode, "

@@ -110,6 +110,18 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # stop-aware put: the consumer may have exited (break / raise /
+            # --steps reached) with the queue full — a plain blocking put
+            # would hang this thread forever, pinning the pool + dataset
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 if self.worker_mode == "process":
@@ -138,7 +150,8 @@ class PrefetchLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(get, batch_idx))
-                        q.put(collate(items))
+                        if not _put(collate(items)):
+                            return
                 finally:
                     if self.worker_mode != "process":
                         pool.shutdown(wait=False)
@@ -146,9 +159,9 @@ class PrefetchLoader:
                 # A raising __getitem__ or a hard-crashed worker process
                 # (BrokenProcessPool) must fail the training loop loudly,
                 # not silently end the epoch short.
-                q.put(e)
+                _put(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

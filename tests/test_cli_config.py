@@ -142,6 +142,10 @@ def test_dpm_sampler_defaults_to_lam_uniform_grid():
     assert cfg.ddim_discretize == "uniform"
     cfg = resolve_swap_config(_args([]))
     assert cfg.ddim_discretize == "uniform"
+    # the default must also fire when the sampler comes from --overrides /
+    # YAML rather than the CLI flag (round-4 review finding)
+    cfg = resolve_swap_config(_args(["--overrides", "sampler=dpm"]))
+    assert cfg.sampler == "dpm" and cfg.ddim_discretize == "lam_uniform"
 
 
 def test_deterministic_samplers_reject_eta():

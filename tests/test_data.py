@@ -214,3 +214,25 @@ def test_prefetch_loader_hard_crash_then_recovers(tmp_path):
         )
     finally:
         loader.close()
+
+
+def test_prefetch_producer_exits_when_consumer_breaks_early():
+    """Round-4 review finding: with the prefetch queue full and the consumer
+    gone, the producer's puts (batch, exception, and the None sentinel) must
+    give up via the stop event instead of blocking forever — a hung daemon
+    producer pins the worker pool and dataset for the process lifetime."""
+    import threading
+
+    ds = _SeededItemDataset(64)
+    loader = PrefetchLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                            prefetch=1)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(loader)
+    next(it)  # producer now races ahead and blocks on the size-1 queue
+    it.close()  # consumer abandons the epoch (generator finally -> stop)
+    new = [t for t in threading.enumerate() if t.ident not in before]
+    for t in new:
+        t.join(timeout=10.0)
+    assert all(not t.is_alive() for t in new), (
+        "producer thread leaked after early consumer exit"
+    )

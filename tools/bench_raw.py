@@ -65,10 +65,12 @@ def main():
 
     import dataclasses
 
-    from reface_tpu.nn.bisenet import BiSeNetConfig
-    from reface_tpu.nn.landmarks import LandmarkNetConfig
     from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
-    from reface_tpu.pipelines.raw import RawPipelineConfig, RawSwapPipeline
+    from reface_tpu.pipelines.raw import (
+        RawPipelineConfig,
+        RawSwapPipeline,
+        tiny_raw_config,
+    )
 
     if args.tiny:
         swap_cfg = tiny_swap_config(image_size=64, ddim_steps=2)
@@ -79,12 +81,7 @@ def main():
                 unet=dataclasses.replace(swap_cfg.unet, quant=args.quant),
                 vae=dataclasses.replace(swap_cfg.vae, quant=args.quant),
             )
-        raw_cfg = RawPipelineConfig(
-            align_size=64, parse_size=64,
-            landmark=LandmarkNetConfig(widths=(8, 16, 32, 32), input_size=64,
-                                       dtype=jnp.float32),
-            bisenet=BiSeNetConfig(dtype=jnp.float32),
-        )
+        raw_cfg = tiny_raw_config()
         frame = 96
     else:
         from reface_tpu.nn.unet import UNetConfig
