@@ -49,6 +49,23 @@ def main():
                          "forward per step — the guidance-folded distilled-"
                          "student serving mode, cli/distill.py)")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "plms", "dpm"],
+                    help="sampler for the fused program (plms = reference "
+                         "--plms protocol; dpm = DPM-Solver++(2M))")
+    ap.add_argument("--discretize", default=None,
+                    choices=["uniform", "quad", "lam_uniform"],
+                    help="timestep grid (default: uniform, or lam_uniform "
+                         "when --sampler dpm, matching cli/common.py)")
+    ap.add_argument("--causal", type=int, default=0,
+                    help="TRUSTWORTHY overlapped-dispatch mode: keep N "
+                         "batches in flight, but fold a scalar of batch "
+                         "i's output into batch i+1's input, so the device "
+                         "cannot start a batch before the previous one "
+                         "finished and the tunnel cannot reorder or cache "
+                         "results (each input differs). Measures the "
+                         "tunnel-RTT-free rate a production host would "
+                         "see; readback forced per batch, in order.")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="EXPERIMENTAL overlapped-dispatch mode. NOT trusted "
                          "over the axon tunnel: with batches in flight the "
@@ -78,12 +95,18 @@ def main():
     from reface_tpu.nn.vae import VAEConfig
     from reface_tpu.pipelines.swap import FaceSwapper, SwapConfig, tiny_swap_config
 
+    # grid default matches cli/common.py: DPM-Solver++ wants the
+    # logSNR-uniform grid unless explicitly overridden
+    discretize = args.discretize or (
+        "lam_uniform" if args.sampler == "dpm" else "uniform"
+    )
     if args.tiny:
         import dataclasses
 
         cfg = tiny_swap_config(image_size=64, ddim_steps=2)
         cfg = dataclasses.replace(
             cfg,
+            sampler=args.sampler, ddim_discretize=discretize,
             unet=dataclasses.replace(cfg.unet, attn_impl=args.attn,
                                      quant=args.quant),
             vae=dataclasses.replace(cfg.vae, quant=args.quant),
@@ -93,6 +116,7 @@ def main():
         cfg = SwapConfig(
             ddim_steps=args.steps, cfg_steps=args.cfg_steps,
             cfg_scale=args.cfg_scale,
+            sampler=args.sampler, ddim_discretize=discretize,
             unet=UNetConfig(attn_impl=args.attn, quant=args.quant),
             vae=VAEConfig(quant=args.quant),
         )
@@ -126,7 +150,39 @@ def main():
     _ = float(jnp.mean(out))
 
     checks = []
-    if args.pipeline:
+    if args.causal:
+        # Causally-chained overlapped dispatch: batch i+1's input contains
+        # a scalar of batch i's output, so (a) on-device execution strictly
+        # serializes (the rate is chip time, not wishful overlap), (b) the
+        # tunnel cannot reorder completions, and (c) no result cache can
+        # hit (every input differs). Unlike --pipeline, a lying readback
+        # would change the FINAL value, which is checked finite; the only
+        # thing removed vs the default mode is the per-batch host round
+        # trip a production (non-tunnel) host wouldn't pay.
+        depth = args.causal
+        n = max(args.iters * 6, depth + 6)
+        feed = jnp.zeros((), jnp.float32)
+        pending = []
+        t0 = None
+        timed = 0
+        for i in range(n):
+            bd = dict(batch_data)
+            bd["target_image"] = batch_data["target_image"] + feed * 1e-6
+            out = swapper.swap(**bd, key=jax.random.key(3 + i))
+            feed = jnp.mean(out)  # device scalar, consumed by batch i+1
+            pending.append(feed)
+            if len(pending) > depth:
+                checks.append(float(pending.pop(0)))  # ordered readback
+                if t0 is None:
+                    t0 = time.perf_counter()
+                else:
+                    timed += 1
+        for m in pending:
+            checks.append(float(m))
+            timed += 1
+        best = (time.perf_counter() - t0) / timed
+        times = [best]
+    elif args.pipeline:
         # serving mode: keep `pipeline` dispatches in flight so host->device
         # dispatch latency overlaps device execution; each result is still
         # forced to completion by a scalar readback (in order). The clock
@@ -163,10 +219,14 @@ def main():
 
     swaps_per_sec = batch / best
     variant = f"_cfg{args.cfg_steps}" if args.cfg_steps else ""
+    if args.sampler != "ddim":
+        variant += f"_{args.sampler}"
     if args.quant != "none":
         variant += f"_{args.quant}"
     if args.cfg_scale == 1.0:
         variant += "_nocfg"  # guidance-folded student schedule
+    if args.causal:
+        variant += f"_causal{args.causal}"
     if args.pipeline:
         variant += "_pipelined"
     result = {

@@ -103,6 +103,7 @@ def resolve_swap_config(args):
                                 ddim_steps=args.ddim_steps or 4)
     else:
         base = SwapConfig()
+    yaml_keys: set = set()
     if getattr(args, "config", None) or getattr(args, "overrides", None):
         from reface_tpu.core.config import load_config, merge
 
@@ -113,7 +114,9 @@ def resolve_swap_config(args):
         # swap.* dotlists both apply, and other sections are ignored here
         sections = ("swap", "train", "recon")
         bare = {k: v for k, v in node.items() if k not in sections}
-        base = apply_config_node(base, merge(bare, node.get("swap", {})))
+        merged = merge(bare, node.get("swap", {}))
+        yaml_keys = set(merged)
+        base = apply_config_node(base, merged)
     # explicitly-set CLI flags win over YAML (and apply under --tiny too)
     cli = {}
     if args.ddim_steps is not None and not args.tiny:
@@ -125,12 +128,14 @@ def resolve_swap_config(args):
     if getattr(args, "discretize", None) is not None:
         cli["ddim_discretize"] = args.discretize
     elif (cli.get("sampler", base.sampler) == "dpm"
-          and base.ddim_discretize == "uniform"):
+          and base.ddim_discretize == "uniform"
+          and "ddim_discretize" not in yaml_keys):
         # DPM-Solver++'s 2nd-order advantage assumes the lam-uniform grid;
         # the t-uniform grid's terminal lam-jump (t=101->1 spans lam
         # 1.06->3.19 on the SD schedule) degrades it to near-DDIM quality
         # (diffusion/dpm_solver.py docstring). Default the grid to what the
-        # solver wants; an explicit --discretize still wins.
+        # solver wants; an explicit --discretize OR an explicit YAML
+        # ddim_discretize (even "uniform") still wins.
         cli["ddim_discretize"] = "lam_uniform"
     if getattr(args, "cfg_steps", None) is not None:
         cli["cfg_steps"] = args.cfg_steps

@@ -106,17 +106,33 @@ def make_server(argv=None):
                 # mask applies only in --precropped mode
                 if args.fused:
                     # bucket uploads to one square frame so every request
-                    # reuses the single compiled program (one dispatch)
+                    # reuses the single compiled program (one dispatch).
+                    # Letterbox (aspect-preserving resize + pad), NOT a
+                    # plain square resize: anisotropic squashing distorts
+                    # face geometry for every non-square upload, degrading
+                    # landmarks/align/paste-back in the latency mode.
                     f = args.fused_frame
                     h, w = tgt.shape[:2]
-                    tgt_in = cv2.resize(tgt, (f, f))
-                    src_in = cv2.resize(src, (f, f))
+
+                    def letterbox(img):
+                        ih, iw = img.shape[:2]
+                        s = f / max(ih, iw)
+                        nh, nw = (max(1, int(round(ih * s))),
+                                  max(1, int(round(iw * s))))
+                        r = cv2.resize(img, (nw, nh))
+                        pad = np.zeros((f, f, 3), np.float32)
+                        y0, x0 = (f - nh) // 2, (f - nw) // 2
+                        pad[y0:y0 + nh, x0:x0 + nw] = r
+                        return pad, (y0, x0, nh, nw)
+
+                    tgt_in, (y0, x0, nh, nw) = letterbox(tgt)
+                    src_in, _ = letterbox(src)
                     out01 = np.asarray(
                         pipe.swap_images_fused(jnp.asarray(tgt_in)[None],
                                                jnp.asarray(src_in)[None],
                                                key=sub)[0]
                     )
-                    out01 = cv2.resize(out01, (w, h))
+                    out01 = cv2.resize(out01[y0:y0 + nh, x0:x0 + nw], (w, h))
                 else:
                     out01 = np.asarray(
                         pipe.swap_images(jnp.asarray(tgt)[None],

@@ -39,8 +39,17 @@ def main(argv=None):
     ap.add_argument("--bench-json", action="store_true",
                     help="print a steady-state frames/s JSON line "
                          "(first batch excluded)")
+    ap.add_argument("--bench-ram", action="store_true",
+                    help="host-stage bypass bench: pre-decode ALL frames "
+                         "into RAM before the clock starts and skip the "
+                         "writer/x264 entirely, isolating the pipeline "
+                         "code's chip-side ceiling from this container's "
+                         "decode/encode CPU cost (implies --bench-json; "
+                         "writes no output video)")
     args = ap.parse_args(argv)
     apply_backend(args)
+    if args.bench_ram:
+        args.bench_json = True
     if args.ddim_steps is None and not args.config and not args.overrides:
         # video protocol default (inference_video_swap.sh); a config file
         # keeps precedence over this implicit default
@@ -66,9 +75,25 @@ def main(argv=None):
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     os.makedirs(args.outdir, exist_ok=True)
     tmp_path = os.path.join(args.outdir, "_noaudio.mp4")
-    writer = cv2.VideoWriter(
-        tmp_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
-    )
+    writer = None
+    if not args.bench_ram:
+        writer = cv2.VideoWriter(
+            tmp_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+
+    ram_frames = None
+    if args.bench_ram:
+        # decode everything up front (uint8 in RAM) so the timed loop pays
+        # zero decode cost; bounded by --frames to keep memory sane
+        ram_frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            ram_frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if args.frames and len(ram_frames) >= args.frames:
+                break
+        print(f"[video] pre-decoded {len(ram_frames)} frames into RAM")
 
     src = cv2.cvtColor(cv2.imread(args.source), cv2.COLOR_BGR2RGB)
     src01 = jnp.asarray(src.astype(np.float32) / 255.0)[None]
@@ -85,10 +110,16 @@ def main(argv=None):
         n = 0
         batch = []
         while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            batch.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if ram_frames is not None:
+                frame = ram_frames[n] if n < len(ram_frames) else None
+                if frame is None:
+                    break
+            else:
+                ok, f = cap.read()
+                if not ok:
+                    break
+                frame = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+            batch.append(frame)
             n += 1
             if len(batch) == args.frame_batch:
                 frame_q.put(batch)
@@ -122,10 +153,11 @@ def main(argv=None):
             key=sub, state=fallback_state[0],
         )
         inv_transforms.extend(np.asarray(quads)[:n])
-        out = np.asarray(out)[:n]
-        for f in out:
-            u8 = np.clip(f * 255.0, 0, 255).astype(np.uint8)
-            writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
+        out = np.asarray(out)[:n]  # full host readback either way
+        if writer is not None:
+            for f in out:
+                u8 = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+                writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
 
     # the reader thread decodes/queues while the device swaps (host/device
     # pipelining — SURVEY.md hard-part #4)
@@ -146,25 +178,47 @@ def main(argv=None):
         else:
             bench["frames"] += len(batch)
         print(f"[video] {count} frames")
-    if args.bench_json and bench["frames"]:
+    if args.bench_json:
         import json
 
-        fs = bench["frames"] / (time.perf_counter() - bench["t0"])
-        print(json.dumps({
-            # swapper.config is the RESOLVED step count (args.ddim_steps is
-            # None when the protocol comes from --config/--overrides)
-            "metric": f"video_frames_per_sec_ddim"
-                      f"{swapper.config.ddim_steps}"
-                      f"_batch{args.frame_batch}",
-            "value": round(fs, 4), "unit": "frames/s",
-            "note": "end-to-end decode+align+parse+swap+paste-back+encode, "
-                    "first batch (compile/ramp) excluded",
-        }))
+        # swapper.config is the RESOLVED step count (args.ddim_steps is
+        # None when the protocol comes from --config/--overrides)
+        metric = (f"video_frames_per_sec_ddim{swapper.config.ddim_steps}"
+                  f"_batch{args.frame_batch}")
+        if args.bench_ram:
+            metric += "_ram"
+        if bench["frames"]:
+            fs = bench["frames"] / (time.perf_counter() - bench["t0"])
+            print(json.dumps({
+                "metric": metric,
+                "value": round(fs, 4), "unit": "frames/s",
+                "note": (
+                    "host-stage bypass: pre-decoded RAM frames in, no "
+                    "writer/x264 — align+parse+swap+paste-back+readback "
+                    "only, first batch (compile/ramp) excluded"
+                    if args.bench_ram else
+                    "end-to-end decode+align+parse+swap+paste-back+encode, "
+                    "first batch (compile/ramp) excluded"
+                ),
+            }))
+        else:
+            # the first batch is always excluded as compile/ramp, so a
+            # single-batch video measures nothing — say so instead of
+            # silently printing no JSON line
+            print(json.dumps({
+                "metric": metric, "value": None, "unit": "frames/s",
+                "note": "steady-state needs >1 frame batch (the first is "
+                        "excluded as compile/ramp); give more frames or a "
+                        "smaller --frame-batch",
+            }))
     cap.release()
-    writer.release()
     # persist per-frame paste-back transforms (inv_transforms.npy parity)
     np.save(os.path.join(args.outdir, "inv_transforms.npy"),
             np.asarray(inv_transforms))
+    if writer is None:  # --bench-ram writes no video
+        print(f"[video] bench-ram done ({count} frames, no output video)")
+        return
+    writer.release()
 
     out_path = os.path.join(args.outdir, "swapped.mp4")
     ffmpeg = shutil.which("ffmpeg")

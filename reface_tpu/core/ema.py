@@ -29,9 +29,17 @@ class EmaState:
     updates: jnp.ndarray  # int32 update counter (warmup ramp)
 
     @staticmethod
-    def create(params, decay: float = 0.9999, warmup: bool = True):
+    def create(params, decay: float = 0.9999, warmup: bool = True,
+               dtype=None):
+        """dtype: shadow dtype override. None keeps the param dtypes
+        (fp32 shadows, LitEma parity). bfloat16 halves the shadow's HBM
+        (-1.7G at 860M trainable params) — what lets EMA run at real size
+        on a single 16G v5e (fp32 shadows OOM there, BENCH_LOG.md); the
+        cost is bf16 rounding of the shadow average, ~1e-3 relative, far
+        below the ~1e-4/step EMA drift it tracks."""
+        cast = (lambda x: jnp.asarray(x, dtype)) if dtype else jnp.asarray
         return EmaState(
-            shadow=jax.tree.map(jnp.asarray, params),
+            shadow=jax.tree.map(cast, params),
             decay=jnp.asarray(decay, jnp.float32),
             updates=jnp.asarray(0 if warmup else -1, jnp.int32),
         )
@@ -43,7 +51,13 @@ def ema_update(state: EmaState, params) -> EmaState:
     ramp = (1.0 + updates) / (10.0 + updates)
     d = jnp.where(updates >= 0, jnp.minimum(state.decay, ramp), state.decay)
     shadow = jax.tree.map(
-        lambda s, p: s + (1.0 - d) * (p.astype(s.dtype) - s),
+        # math in fp32, storage in the shadow's dtype: exact for fp32
+        # shadows (LitEma parity), and for bf16 shadows only the final
+        # store rounds (transient fp32 temps, XLA fuses them away)
+        lambda s, p: (
+            s.astype(jnp.float32)
+            + (1.0 - d) * (p.astype(jnp.float32) - s.astype(jnp.float32))
+        ).astype(s.dtype),
         state.shadow, params,
     )
     return EmaState(shadow=shadow, decay=state.decay, updates=updates)

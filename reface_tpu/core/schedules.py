@@ -93,6 +93,14 @@ def make_ddim_timesteps(
             raise ValueError("lam_uniform discretization needs alphas_cumprod")
         acp = np.asarray(alphas_cumprod, np.float64)
         lam = 0.5 * (np.log(acp) - np.log1p(-acp))
+        if num_ddim_steps > len(lam) - 1:
+            # index 0 is reserved (the +1 offset convention), so at most
+            # T-1 unique indices exist; the greedy all-inf argmin below
+            # would otherwise silently claim index 0 repeatedly
+            raise ValueError(
+                f"lam_uniform needs num_ddim_steps <= {len(lam) - 1}, "
+                f"got {num_ddim_steps}"
+            )
         # same high-noise anchor as "uniform" at this step count
         t_hi = num_ddpm_steps - num_ddpm_steps // num_ddim_steps + 1
         targets = np.linspace(lam[t_hi], lam[1], num_ddim_steps)
@@ -113,7 +121,11 @@ def make_ddim_timesteps(
             idx[i] = j
             used[j] = True
         idx = np.sort(idx)
-        assert len(np.unique(idx)) == num_ddim_steps
+        if len(np.unique(idx)) != num_ddim_steps:  # exactly-S guarantee
+            raise RuntimeError(
+                "lam_uniform produced duplicate timestep indices "
+                f"({len(np.unique(idx))} unique of {num_ddim_steps})"
+            )
         return idx
     else:
         raise ValueError(f"unknown ddim discretization {method!r}")

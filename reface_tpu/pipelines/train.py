@@ -51,6 +51,10 @@ class TrainConfig:
     num_timesteps: int = 1000
     grad_clip: Optional[float] = None
     ema_decay: Optional[float] = None  # shipped config: use_ema False
+    # EMA shadow dtype. None = param dtype (fp32, LitEma parity). bfloat16
+    # halves the shadow's HBM (-1.7G at 860M trainable) — required to run
+    # EMA at real size on a single 16G v5e (core/ema.py docstring).
+    ema_dtype: Optional[str] = None
     accumulate: int = 1  # Lightning accumulate_grad_batches equivalent
     # Compile the full loss as multiple programs instead of one monolith —
     # numerically exact (gradients of sums are sums of gradients over
@@ -146,12 +150,13 @@ class TrainState:
     ema: Any = None  # EmaState of the trainable subtree, or None
 
     @staticmethod
-    def create(params, tx, ema_decay=None):
+    def create(params, tx, ema_decay=None, ema_dtype=None):
         ema = None
         if ema_decay is not None:
             from reface_tpu.core.ema import EmaState
 
-            ema = EmaState.create(params["unet"], decay=ema_decay)
+            ema = EmaState.create(params["unet"], decay=ema_decay,
+                                  dtype=ema_dtype)
         return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
                           ema)
 
@@ -505,7 +510,8 @@ def make_train_step(swap_cfg: SwapConfig, train_cfg: TrainConfig,
     def init_state(params):
         tx = make_optimizer(train_cfg, params)
         tx_holder["tx"] = tx
-        return TrainState.create(params, tx, ema_decay=train_cfg.ema_decay)
+        return TrainState.create(params, tx, ema_decay=train_cfg.ema_decay,
+                                 ema_dtype=train_cfg.ema_dtype)
 
     return train_step, loss_fn, init_state
 

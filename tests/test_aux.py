@@ -30,6 +30,26 @@ def test_ema_no_warmup():
     np.testing.assert_allclose(np.asarray(st.shadow["w"]), 0.5)
 
 
+def test_ema_bf16_shadow():
+    """dtype='bfloat16' shadows: dtype-stable across updates (no pytree
+    dtype drift that would retrigger jit), fp32 update math, and tracking
+    within bf16 rounding of the fp32 shadow — the mode that fits EMA at
+    860M on a 16G v5e (BENCH_LOG.md round-5)."""
+    params = {"w": jnp.full((4,), 0.3, jnp.float32)}
+    st16 = EmaState.create(params, decay=0.99, dtype="bfloat16")
+    st32 = EmaState.create(params, decay=0.99)
+    assert st16.shadow["w"].dtype == jnp.bfloat16
+    new_params = {"w": jnp.full((4,), 1.0, jnp.float32)}
+    for _ in range(20):
+        st16 = ema_update(st16, new_params)
+        st32 = ema_update(st32, new_params)
+    assert st16.shadow["w"].dtype == jnp.bfloat16  # stable under updates
+    np.testing.assert_allclose(
+        np.asarray(st16.shadow["w"], np.float32),
+        np.asarray(st32.shadow["w"]), rtol=1e-2,
+    )
+
+
 def test_lambda_linear_shipped_config():
     sched = lambda_linear(10_000, 1e-6, 1.0, 1.0)
     np.testing.assert_allclose(float(sched(0)), 1e-6, rtol=1e-5)

@@ -98,10 +98,22 @@ def main():
         "int8_ddim50": SwapConfig(unet=UNetConfig(quant="int8"),
                                   vae=VAEConfig(quant="int8")),
         # conv-only int8 (--quant int8conv): the transformer matmuls keep
-        # exact bf16 math, so the numerics delta comes from the ResBlock +
-        # VAE ResnetBlock convs alone — strictly tighter than full int8
+        # exact bf16 math, so the transformer numerics delta comes from the
+        # ResBlock + VAE ResnetBlock convs alone — strictly tighter than
+        # full int8
         "int8conv_ddim50": SwapConfig(unet=UNetConfig(quant="int8conv"),
                                       vae=VAEConfig(quant="int8conv")),
+        # the reference's --plms protocol switch at the same 50-step grid
+        # (inference_test_bench.py:185,336-337): solver delta only
+        "plms50": SwapConfig(sampler="plms"),
+        # DPM-Solver++(2M) step-count reduction on its logSNR-uniform grid
+        # (the cli/common.py auto-default for --sampler dpm): the
+        # training-free alternative to the distilled student's 2nd-order
+        # rungs at DDIM-30/DDIM-15-equivalent cost
+        "dpm30_lam": SwapConfig(sampler="dpm", ddim_steps=30,
+                                ddim_discretize="lam_uniform"),
+        "dpm15_lam": SwapConfig(sampler="dpm", ddim_steps=15,
+                                ddim_discretize="lam_uniform"),
     }
     base_cfg = modes["exact_ddim50"]
     base_params = params_for(base_cfg)
