@@ -83,6 +83,9 @@ def main():
                     choices=["none", "int8", "int8conv"],
                     help="serving mode: int8 MXU matmuls for the "
                          "transformer blocks (QKV/out + GEGLU FF)")
+    ap.add_argument("--quant-cond", action="store_true",
+                    help="also int8 the CLIP conditioner tower matmuls "
+                         "(fixed per-swap cost attack for short rungs)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -111,6 +114,10 @@ def main():
                                      quant=args.quant),
             vae=dataclasses.replace(cfg.vae, quant=args.quant),
         )
+        if args.quant_cond:
+            cfg = dataclasses.replace(cfg, conditioner=dataclasses.replace(
+                cfg.conditioner, clip=dataclasses.replace(
+                    cfg.conditioner.clip, quant="int8")))
         batch = args.batch or 2
     else:
         cfg = SwapConfig(
@@ -120,6 +127,13 @@ def main():
             unet=UNetConfig(attn_impl=args.attn, quant=args.quant),
             vae=VAEConfig(quant=args.quant),
         )
+        if args.quant_cond:
+            import dataclasses
+
+            from reface_tpu.nn.clip import CLIPVisionConfig
+
+            cfg = dataclasses.replace(cfg, conditioner=dataclasses.replace(
+                cfg.conditioner, clip=CLIPVisionConfig(quant="int8")))
         # batch 8 is the measured knee of the exact protocol (1.59 swaps/s vs
         # 1.49 at batch 4; batch 16 spills — BENCH_LOG.md round-3 A/B table).
         batch = args.batch or 8
@@ -223,6 +237,8 @@ def main():
         variant += f"_{args.sampler}"
     if args.quant != "none":
         variant += f"_{args.quant}"
+    if args.quant_cond:
+        variant += "_qcond"
     if args.cfg_scale == 1.0:
         variant += "_nocfg"  # guidance-folded student schedule
     if args.causal:

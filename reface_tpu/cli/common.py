@@ -49,6 +49,11 @@ def add_model_args(ap):
                     choices=["none", "int8", "int8conv"],
                     help="serving mode: int8 MXU matmuls in the transformer "
                          "blocks (ops/quant.py; default none)")
+    ap.add_argument("--quant-cond", action="store_true",
+                    help="serving mode: int8 MXU matmuls in the CLIP "
+                         "conditioner tower too — attacks the fixed "
+                         "per-swap conditioning cost that dominates the "
+                         "short distilled rungs (composes with --quant)")
     ap.add_argument("--sampler", default=None, choices=["ddim", "plms", "dpm"],
                     help="dpm = DPM-Solver++(2M), 2nd-order training-free "
                          "step-count reducer (diffusion/dpm_solver.py); "
@@ -139,6 +144,11 @@ def resolve_swap_config(args):
         cli["ddim_discretize"] = "lam_uniform"
     if getattr(args, "cfg_steps", None) is not None:
         cli["cfg_steps"] = args.cfg_steps
+    if getattr(args, "quant_cond", False):
+        cli["conditioner"] = dataclasses.replace(
+            base.conditioner,
+            clip=dataclasses.replace(base.conditioner.clip, quant="int8"),
+        )
     if (getattr(args, "attn", None) is not None
             or getattr(args, "quant", None) is not None):
         ukw = {}
@@ -200,6 +210,54 @@ def build_swapper(args):
             params,
         )
     return FaceSwapper(cfg, params)
+
+
+def build_raw_pipeline(args, swapper, raw_cfg):
+    """RawSwapPipeline from the shared raw-driver flags: --landmark-ckpt
+    (on-device LandmarkNet params), --landmark-rert (host exact-ERT,
+    dlib-parity — eager path only), --bisenet-ckpt (face parser weights).
+
+    Every inference flow in the reference feeds dlib landmarks into
+    alignment AND the 136-d conditioning (one_inference.py:532-541,
+    ddpm.py:1068-1099); --landmark-rert is the exact-parity equivalent."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from reface_tpu.pipelines.raw import RawSwapPipeline
+
+    bn_params = lm_params = lm_fn = None
+    if getattr(args, "bisenet_ckpt", None):
+        from reface_tpu.ckpt.convert import convert_bisenet, load_torch_state_dict
+        from reface_tpu.nn.bisenet import BiSeNet
+
+        m = BiSeNet(raw_cfg.bisenet)
+        shapes = jax.eval_shape(
+            functools.partial(m.init, aux_heads=True), jax.random.key(0),
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        bn_params = convert_bisenet(
+            jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
+            load_torch_state_dict(args.bisenet_ckpt),
+        )
+    if getattr(args, "landmark_ckpt", None):
+        from reface_tpu.ckpt.io import load_params
+
+        lm_params = load_params(args.landmark_ckpt)
+    if getattr(args, "landmark_rert", None):
+        if getattr(args, "fused", False):
+            raise SystemExit(
+                "--landmark-rert is a host-side (exact ERT) landmark "
+                "source; the --fused one-XLA-program path cannot call the "
+                "host mid-program. Use the eager path, or --landmark-ckpt "
+                "(an ERT-distilled LandmarkNet) with --fused."
+            )
+        from reface_tpu.nn.landmarks import landmark68_fn_from_rert
+
+        lm_fn = landmark68_fn_from_rert(args.landmark_rert)
+    return RawSwapPipeline(swapper, raw_cfg, landmark_params=lm_params,
+                           bisenet_params=bn_params, landmark_fn=lm_fn)
 
 
 def build_safety_checker(ckpt_path: str | None):

@@ -65,6 +65,14 @@ def make_server(argv=None):
     ap.add_argument("--safety-ckpt", default=None,
                     help="StableDiffusionSafetyChecker state dict: flag/blur "
                          "NSFW outputs before returning them")
+    ap.add_argument("--landmark-ckpt", default=None,
+                    help="LandmarkNet params (batched on-device landmarks)")
+    ap.add_argument("--landmark-rert", default=None,
+                    help="native .rert ERT model: EXACT dlib-parity "
+                         "landmarks on the host (eager mode; incompatible "
+                         "with --fused)")
+    ap.add_argument("--bisenet-ckpt", default=None,
+                    help="face-parser weights for the raw mode")
     args = ap.parse_args(argv)
     apply_backend(args)
 
@@ -74,20 +82,18 @@ def make_server(argv=None):
     import jax.numpy as jnp
 
     from reface_tpu.cli.common import (
+        build_raw_pipeline,
         build_safety_checker,
         decode_keep_mask,
         default_inpaint_mask,
     )
-    from reface_tpu.pipelines.raw import (
-        RawPipelineConfig,
-        RawSwapPipeline,
-        tiny_raw_config,
-    )
+    from reface_tpu.pipelines.raw import RawPipelineConfig, tiny_raw_config
     from reface_tpu.pipelines.swap import clip_normalize
 
     swapper = build_swapper(args)
     raw_cfg = tiny_raw_config() if args.tiny else RawPipelineConfig()
-    pipe = None if args.precropped else RawSwapPipeline(swapper, raw_cfg)
+    pipe = None if args.precropped else build_raw_pipeline(args, swapper,
+                                                           raw_cfg)
     safety = build_safety_checker(args.safety_ckpt)
     lock = threading.Lock()
     state = {"key": jax.random.key(args.seed)}

@@ -38,6 +38,10 @@ def main(argv=None):
                     help="universal head swap: extend masks with hair/hat")
     ap.add_argument("--landmark-ckpt", default=None,
                     help="LandmarkNet params; enables landmark conditioning")
+    ap.add_argument("--landmark-rert", default=None,
+                    help="native .rert ERT model: EXACT dlib-parity "
+                         "landmark conditioning computed on the host per "
+                         "batch (get_landmarks parity, ddpm.py:1068-1099)")
     ap.add_argument("--prior-dir", default=None,
                     help="dir of {target_id}.png priors: q-sample the DDIM "
                          "start from the prior latent (load_prior parity, "
@@ -78,6 +82,16 @@ def main(argv=None):
             )
             lm = lm_net.apply(lm_params, x)
             return lm * (size / lm_s)
+    elif args.landmark_rert:
+        # exact dlib-ERT landmarks of the 512px target crop on the host —
+        # the reference's own source for this conditioning stream
+        # (get_landmarks loops dlib over the GT batch, ddpm.py:1068-1099)
+        from reface_tpu.nn.landmarks import landmark_fn_from_rert
+
+        rert_fn = landmark_fn_from_rert(args.landmark_rert, size)
+
+        def landmark_fn(tgt_pm1):
+            return jnp.asarray(rert_fn(tgt_pm1))
     from reface_tpu.cli.common import build_safety_checker
 
     safety = build_safety_checker(args.safety_ckpt)

@@ -53,7 +53,12 @@ def main(argv=None):
     ap.add_argument("--target", required=True, help="image or folder")
     ap.add_argument("--source", required=True, help="image or folder")
     ap.add_argument("--outdir", required=True)
-    ap.add_argument("--landmark-ckpt", default=None)
+    ap.add_argument("--landmark-ckpt", default=None,
+                    help="LandmarkNet params (batched on-device landmarks)")
+    ap.add_argument("--landmark-rert", default=None,
+                    help="native .rert ERT model: EXACT dlib-parity "
+                         "landmarks on the host for align + conditioning "
+                         "(eager path; --fused keeps the on-device CNN)")
     ap.add_argument("--bisenet-ckpt", default=None)
     ap.add_argument("--precropped", action="store_true",
                     help="inputs already aligned; skip detect/parse/paste")
@@ -231,7 +236,6 @@ def main(argv=None):
                 print(f"[swap] {name}")
         return
 
-    bn_params = lm_params = None
     if args.head_swap:
         from reface_tpu.preprocess.masks import HEAD_SWAP_SEG12
 
@@ -244,27 +248,9 @@ def main(argv=None):
         raw_cfg = tiny_raw_config(seg12_face_classes=seg12)
     else:
         raw_cfg = RawPipelineConfig(seg12_face_classes=seg12)
-    if args.bisenet_ckpt:
-        from reface_tpu.ckpt.convert import convert_bisenet, load_torch_state_dict
-        from reface_tpu.nn.bisenet import BiSeNet
-        import functools
+    from reface_tpu.cli.common import build_raw_pipeline
 
-        m = BiSeNet(raw_cfg.bisenet)
-        shapes = jax.eval_shape(
-            functools.partial(m.init, aux_heads=True), jax.random.key(0),
-            jnp.zeros((1, 64, 64, 3)),
-        )
-        bn_params = convert_bisenet(
-            jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes),
-            load_torch_state_dict(args.bisenet_ckpt),
-        )
-    if args.landmark_ckpt:
-        from reface_tpu.ckpt.io import load_params
-
-        lm_params = load_params(args.landmark_ckpt)
-
-    pipe = RawSwapPipeline(swapper, raw_cfg, landmark_params=lm_params,
-                           bisenet_params=bn_params)
+    pipe = build_raw_pipeline(args, swapper, raw_cfg)
 
     for sp in sources:
         src = _read01(sp)

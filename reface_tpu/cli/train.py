@@ -35,6 +35,12 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--image-size", type=int, default=512)
     ap.add_argument("--train-count", type=int, default=28000)
+    ap.add_argument("--black-outer-mask", dest="gray_outer_mask",
+                    action="store_false",
+                    help="use the __getitem_black__ item recipe "
+                         "(gray_outer_mask: False in the reference config, "
+                         "celebA.py:405-409): no decow TPS warp of the "
+                         "inpaint mask (celeba only)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--full-losses", action="store_true",
                     help="enable DDIM-recon ID/LPIPS losses")
@@ -260,7 +266,7 @@ def main(argv=None):
         ds = CelebAHQDataset(CelebAHQConfig(
             dataset_dir=args.dataset_dir, state="train",
             image_size=args.image_size, train_count=args.train_count,
-            data_seed=args.seed,
+            data_seed=args.seed, gray_outer_mask=args.gray_outer_mask,
         ))
     else:
         ds = FFHQDataset(FFHQConfig(

@@ -34,7 +34,11 @@ def main(argv=None):
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--frame-batch", type=int, default=10)
     ap.add_argument("--frames", type=int, default=0, help="0 = all")
-    ap.add_argument("--landmark-ckpt", default=None)
+    ap.add_argument("--landmark-ckpt", default=None,
+                    help="LandmarkNet params (batched on-device landmarks)")
+    ap.add_argument("--landmark-rert", default=None,
+                    help="native .rert ERT model: EXACT dlib-parity "
+                         "landmarks on the host for align + conditioning")
     ap.add_argument("--bisenet-ckpt", default=None)
     ap.add_argument("--bench-json", action="store_true",
                     help="print a steady-state frames/s JSON line "
@@ -59,15 +63,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from reface_tpu.pipelines.raw import (
-        RawPipelineConfig,
-        RawSwapPipeline,
-        tiny_raw_config,
-    )
+    from reface_tpu.cli.common import build_raw_pipeline
+    from reface_tpu.pipelines.raw import RawPipelineConfig, tiny_raw_config
 
     swapper = build_swapper(args)
     raw_cfg = tiny_raw_config() if args.tiny else RawPipelineConfig()
-    pipe = RawSwapPipeline(swapper, raw_cfg)
+    pipe = build_raw_pipeline(args, swapper, raw_cfg)
 
     cap = cv2.VideoCapture(args.video)
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0

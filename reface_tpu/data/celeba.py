@@ -9,6 +9,11 @@ Parity targets (semantics, not code):
       inpaint    = GT * keep-mask
       reference  = CLIP-normalized GT masked to the face region, then
                    augmented (resize 224 / flip / rotate / blur / elastic)
+  - black-mask item recipe (gray_outer_mask: False dispatch,
+    celebA.py:405-409 -> 495-557): same keep-mask and reference build but
+    NO decow TPS warp of the inpaint mask (the mask follows the parsing
+    classes exactly), and the reference is masked with the
+    nearest-resized raw class mask before augmentation
   - shipped class lists: configs/train.yaml:108-133
 
 Returns per item (all HWC float32 numpy):
@@ -69,6 +74,10 @@ class CelebAHQConfig:
     tps_scale_range: tuple = (0.5, 1.0)
     train_count: int = 28000
     eval_count: int = 2000
+    # True = __getitem_gray__ recipe (shipped default); False = the
+    # __getitem_black__ recipe (celebA.py:405-409 config dispatch): no
+    # decow TPS warp of the inpaint mask
+    gray_outer_mask: bool = True
 
 
 class CelebAHQDataset:
@@ -103,7 +112,10 @@ class CelebAHQDataset:
         s = cfg.image_size
         gt = to_tensor_pm1(_resize(img, s))
         keep_s = _resize(keep, s)
-        if cfg.state == "train":
+        if cfg.state == "train" and cfg.gray_outer_mask:
+            # the black recipe (gray_outer_mask False) skips the decow
+            # warp: its inpaint mask follows the parsing classes exactly
+            # (celebA.py:495-557 has no decow call)
             scale = rng.uniform(*cfg.tps_scale_range)
             keep_s = tps_warp_mask_np(keep_s, rng, scale=scale)
         inpaint = gt * keep_s[..., None]

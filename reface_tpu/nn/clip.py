@@ -36,6 +36,11 @@ class CLIPVisionConfig:
     image_size: int = 224
     projection_dim: int = 768
     dtype: jnp.dtype = jnp.bfloat16
+    # "int8": serving-mode MXU int8 for the tower's transformer matmuls
+    # (q/k/v/out + MLP) — an attack on the fixed per-swap conditioning
+    # cost that dominates the short distilled serving rungs (--quant-cond;
+    # param tree unchanged, QDense mirrors nn.Dense)
+    quant: str = "none"
 
     @property
     def num_tokens(self) -> int:
@@ -50,12 +55,16 @@ class CLIPAttention(nn.Module):
     hidden: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        from reface_tpu.nn.layers import QDense
+
         d = self.hidden // self.heads
         b, n, _ = x.shape
-        dense = lambda name: nn.Dense(self.hidden, dtype=self.dtype, name=name)
+        dense = lambda name: QDense(self.hidden, dtype=self.dtype,
+                                    quant=self.quant, name=name)
         q = dense("q_proj")(x).reshape(b, n, self.heads, d).transpose(0, 2, 1, 3)
         k = dense("k_proj")(x).reshape(b, n, self.heads, d).transpose(0, 2, 1, 3)
         v = dense("v_proj")(x).reshape(b, n, self.heads, d).transpose(0, 2, 1, 3)
@@ -70,15 +79,21 @@ class CLIPLayer(nn.Module):
     hidden: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        from reface_tpu.nn.layers import QDense
+
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
-        x = x + CLIPAttention(self.hidden, self.heads, dtype=self.dtype, name="attn")(h)
+        x = x + CLIPAttention(self.hidden, self.heads, dtype=self.dtype,
+                              quant=self.quant, name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
-        h = nn.Dense(self.hidden * 4, dtype=self.dtype, name="fc1")(h)
+        h = QDense(self.hidden * 4, dtype=self.dtype, quant=self.quant,
+                   name="fc1")(h)
         h = quick_gelu(h)
-        return x + nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
+        return x + QDense(self.hidden, dtype=self.dtype, quant=self.quant,
+                          name="fc2")(h)
 
 
 class CLIPVisionTower(nn.Module):
@@ -112,7 +127,8 @@ class CLIPVisionTower(nn.Module):
         h = h + pos.astype(dt)[None]
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_layernorm")(h)
         for i in range(cfg.layers):
-            h = CLIPLayer(cfg.hidden, cfg.heads, dtype=dt, name=f"layer_{i}")(h)
+            h = CLIPLayer(cfg.hidden, cfg.heads, dtype=dt, quant=cfg.quant,
+                          name=f"layer_{i}")(h)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_layernorm")(h[:, 0])
         return nn.Dense(
             cfg.projection_dim, use_bias=False, dtype=jnp.float32,

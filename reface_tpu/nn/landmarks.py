@@ -33,6 +33,7 @@ __all__ = [
     "soft_argmax_2d",
     "landmark_fn_from_net",
     "landmark_fn_from_rert",
+    "landmark68_fn_from_rert",
 ]
 
 
@@ -147,6 +148,36 @@ def landmark_fn_from_rert(path: str, image_size: int):
         )
         lm = native_ops.ert_predict_batch(gray, boxes).reshape(b, 136)
         return lm * (image_size / w)
+
+    return fn
+
+
+def landmark68_fn_from_rert(path: str):
+    """Host-side exact-ERT landmark fn for the RAW pipeline.
+
+    (B,H,W,3) images in [0,1] (np or device arrays) -> (B,68,2) np.float32
+    pixel coords at the INPUT scale — the drop-in exact-parity replacement
+    for RawSwapPipeline.detect_landmarks' LandmarkNet (dlib predictor
+    semantics with the full-image fallback box, ddpm.py:1075-1082; every
+    reference inference flow feeds dlib landmarks to alignment and the
+    136-d conditioning, one_inference.py:532-541). Runs on the host via
+    the native C++ ERT cascade at the image's native resolution — no
+    resize, no scale-back."""
+    import numpy as np
+
+    from reface_tpu import native_ops
+
+    native_ops.ert_load(path)
+
+    def fn(images01):
+        g = np.asarray(images01, np.float32)
+        gray = (g[..., 0] * 0.299 + g[..., 1] * 0.587 + g[..., 2] * 0.114)
+        gray = np.clip(gray * 255.0, 0, 255).astype(np.uint8)
+        b, h, w = gray.shape
+        boxes = np.tile(
+            np.array([0, 0, w - 1, h - 1], np.float32), (b, 1)
+        )
+        return native_ops.ert_predict_batch(gray, boxes).reshape(b, 68, 2)
 
     return fn
 

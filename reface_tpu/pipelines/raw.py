@@ -76,9 +76,18 @@ class RawSwapPipeline:
         landmark_params=None,
         bisenet_params=None,
         seed: int = 0,
+        landmark_fn=None,
     ):
+        """landmark_fn: optional HOST landmark source overriding the
+        on-device LandmarkNet — (B,H,W,3) [0,1] images -> (B,68,2) pixel
+        coords at input scale (np). Pass
+        nn.landmarks.landmark68_fn_from_rert(path) for exact dlib-ERT
+        parity on the eager path (every driver's --landmark-rert). The
+        fused one-XLA-program path cannot call out to the host, so it
+        keeps the LandmarkNet (swap_images_fused docstring)."""
         self.swapper = swapper
         self.config = config
+        self.landmark_fn = landmark_fn
         self.landmark_net = LandmarkNet(config.landmark)
         self.bisenet = BiSeNet(config.bisenet)
         key = jax.random.key(seed)
@@ -93,7 +102,18 @@ class RawSwapPipeline:
     # ---- stages ----
 
     def detect_landmarks(self, image01: jnp.ndarray) -> jnp.ndarray:
-        """(B,H,W,3) in [0,1] -> (B,68,2) pixel coords at input scale."""
+        """(B,H,W,3) in [0,1] -> (B,68,2) pixel coords at input scale.
+
+        Source: the host landmark_fn when configured (exact ERT parity)
+        and not under a jit trace; otherwise the batched on-device
+        LandmarkNet. Under tracing (swap_images_fused) the host fn cannot
+        run, so the fused program always uses the CNN."""
+        if self.landmark_fn is not None and not isinstance(
+            image01, jax.core.Tracer
+        ):
+            return jnp.asarray(
+                np.asarray(self.landmark_fn(image01), np.float32)
+            )
         s = self.config.landmark.input_size
         b, h, w, _ = image01.shape
         x = jax.image.resize(image01, (b, s, s, 3), "bilinear") * 2 - 1

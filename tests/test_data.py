@@ -44,6 +44,34 @@ def test_celeba_train_item(celeba_root):
     assert (m == 0).any() and (m == 1).any()
 
 
+def test_celeba_black_recipe_golden(celeba_root):
+    """__getitem_black__ parity (gray_outer_mask False, celebA.py:495-557):
+    the inpaint mask is EXACTLY 1 - isin(mask19, preserve) resized — no
+    decow TPS warp — and inpaint = GT * mask. Golden check against the
+    formula computed directly from the files."""
+    import cv2
+
+    cfg = CelebAHQConfig(dataset_dir=celeba_root, state="train",
+                         image_size=64, train_count=4,
+                         gray_outer_mask=False)
+    ds = CelebAHQDataset(cfg)
+    it = ds[2]
+
+    mask19 = cv2.imread(ds.masks[2], cv2.IMREAD_GRAYSCALE)
+    keep = 1.0 - np.isin(mask19, cfg.preserve).astype(np.float32)
+    keep = cv2.resize(keep, (64, 64), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(it["inpaint_mask"][..., 0], keep, atol=1e-6)
+    np.testing.assert_allclose(it["inpaint_image"], it["GT"] * keep[..., None],
+                               atol=1e-6)
+
+    # the gray (shipped) recipe decow-warps the same mask — same files,
+    # different mask is the observable dispatch difference
+    gray = CelebAHQDataset(CelebAHQConfig(
+        dataset_dir=celeba_root, state="train", image_size=64,
+        train_count=4))[2]
+    assert np.abs(gray["inpaint_mask"] - it["inpaint_mask"]).max() > 0.1
+
+
 def test_celeba_determinism(celeba_root):
     cfg = CelebAHQConfig(dataset_dir=celeba_root, state="train",
                          image_size=64, train_count=4)

@@ -58,7 +58,15 @@ def main():
                     choices=["none", "int8", "int8conv"],
                     help="serving quant mode for the swap core (same knob "
                          "as bench.py; the pre/post towers stay bf16)")
+    ap.add_argument("--landmark-rert", default=None,
+                    help="native .rert ERT model: measure the EXACT "
+                         "dlib-parity landmark path (host C++ cascade) "
+                         "instead of the on-device LandmarkNet; eager "
+                         "path only (incompatible with --fused)")
     args = ap.parse_args()
+    if args.landmark_rert and args.fused:
+        raise SystemExit("--landmark-rert is host-side; --fused compiles "
+                         "one XLA program and keeps the on-device CNN")
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -105,7 +113,17 @@ def main():
                 if x.dtype == jnp.float32 else x, sw.params,
             ),
         )
-    pipe = RawSwapPipeline(sw, raw_cfg)
+    lm_fn = None
+    if args.landmark_rert:
+        from reface_tpu.nn.landmarks import landmark68_fn_from_rert
+
+        lm_fn = landmark68_fn_from_rert(args.landmark_rert)
+    pipe = RawSwapPipeline(sw, raw_cfg, landmark_fn=lm_fn)
+    # what actually produces the landmarks in THIS measurement — recorded
+    # in the JSON so the log can never misattribute the landmark source
+    landmark_source = (
+        "native_ert_host" if args.landmark_rert else "landmark_net_on_device"
+    )
 
     b = args.batch
     tgt = jax.random.uniform(jax.random.key(1), (b, frame, frame, 3))
@@ -163,7 +181,7 @@ def main():
         "unit": "s",
         "best": round(min(times), 4),
         "frame": frame, "batch": b, "ddim_steps": swap_cfg.ddim_steps,
-        "cfg_scale": args.cfg_scale,
+        "cfg_scale": args.cfg_scale, "landmarks": landmark_source,
     }))
     print("# times:", [round(t, 3) for t in times])
 
