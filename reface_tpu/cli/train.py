@@ -215,9 +215,15 @@ def main(argv=None):
     jit_loss = jax.jit(loss_fn)
     state = init_state(shard_params(params, mesh))
     # split-grad steps are already two jitted programs; re-jitting would
-    # trace through and re-fuse them into the too-big monolith
+    # trace through and re-fuse them into the too-big monolith.
+    # donate_argnums=(0,): without donation the step double-buffers the
+    # whole TrainState (old params+mu+nu+EMA live next to the new ones at
+    # the output) — ~9G extra at 860M; donating is what lets the eps config
+    # carry a bf16 EMA shadow on a single 16G v5e. Trade-off: if the step
+    # itself faults (OOM), the old state's buffers are gone — the crash
+    # checkpoint below tolerates that.
     jit_step = (step_fn if getattr(step_fn, "precompiled", False)
-                else jax.jit(step_fn))
+                else jax.jit(step_fn, donate_argnums=(0,)))
 
     resume_step = 0
     if args.resume:
@@ -447,7 +453,15 @@ def main(argv=None):
     except StopIteration:
         pass
     except Exception:
-        checkpoint("crash_last")  # melk() parity: save before re-raising
+        # melk() parity: save before re-raising. Best-effort — if the step
+        # program itself faulted, the state is unfetchable (donated inputs
+        # freed / poisoned outputs), and the crash save must not mask the
+        # real error.
+        try:
+            checkpoint("crash_last")
+        except Exception as ce:
+            print(f"[train] WARNING: crash checkpoint failed "
+                  f"({type(ce).__name__}): state was lost with the step")
         raise
     checkpoint("last")
     if step == resume_step:

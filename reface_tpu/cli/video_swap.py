@@ -43,6 +43,11 @@ def main(argv=None):
     ap.add_argument("--bench-json", action="store_true",
                     help="print a steady-state frames/s JSON line "
                          "(first batch excluded)")
+    ap.add_argument("--eager-video", action="store_true",
+                    help="stage-by-stage eager batch path instead of the "
+                         "one-XLA-program video step (exact-parity ERT "
+                         "conditioning when --landmark-rert is set, at "
+                         "~20 tunnel round trips per batch)")
     ap.add_argument("--bench-ram", action="store_true",
                     help="host-stage bypass bench: pre-decode ALL frames "
                          "into RAM before the clock starts and skip the "
@@ -98,6 +103,10 @@ def main(argv=None):
 
     src = cv2.cvtColor(cv2.imread(args.source), cv2.COLOR_BGR2RGB)
     src01 = jnp.asarray(src.astype(np.float32) / 255.0)[None]
+    src_b = jnp.repeat(src01, args.frame_batch, axis=0)
+    # the source is constant for the whole video: encode its CLIP
+    # reference ONCE instead of re-running the towers every batch
+    ref224 = pipe._source_reference(src_b)
 
     key = jax.random.key(args.seed)
     count = 0
@@ -150,8 +159,9 @@ def main(argv=None):
             )
         key, sub = jax.random.split(key)
         out, fallback_state[0], quads = pipe.swap_images_robust(
-            jnp.asarray(arr), jnp.repeat(src01, arr.shape[0], axis=0),
+            jnp.asarray(arr), src_b,
             key=sub, state=fallback_state[0],
+            one_program=not args.eager_video, ref224=ref224,
         )
         inv_transforms.extend(np.asarray(quads)[:n])
         out = np.asarray(out)[:n]  # full host readback either way

@@ -37,7 +37,10 @@ class EmaState:
         on a single 16G v5e (fp32 shadows OOM there, BENCH_LOG.md); the
         cost is bf16 rounding of the shadow average, ~1e-3 relative, far
         below the ~1e-4/step EMA drift it tracks."""
-        cast = (lambda x: jnp.asarray(x, dtype)) if dtype else jnp.asarray
+        # copy=True: a same-dtype shadow must NOT alias the param buffers —
+        # the train step donates its state (cli/train.py), and a shadow leaf
+        # sharing a params leaf would be donated twice
+        cast = lambda x: jnp.array(x, dtype=dtype or x.dtype, copy=True)
         return EmaState(
             shadow=jax.tree.map(cast, params),
             decay=jnp.asarray(decay, jnp.float32),

@@ -323,6 +323,62 @@ class RawSwapPipeline:
         face = self.face_mask(seg)[..., 0]
         return jnp.mean(face, axis=(1, 2)) >= min_area_frac
 
+    def _video_batch_program(self):
+        """The whole per-batch video step as ONE jitted program.
+
+        The eager robust path dispatches every stage (presence parse,
+        landmarks, align, swap, paste-back) primitive-by-primitive — over
+        the axon tunnel each dispatch is a host round trip, ~20+ RTTs per
+        frame batch, which is most of what kept `--bench-ram` at 0.58 fps
+        while the chip ladder does 2.13. Here presence + the last-good-
+        frame fallback (a lax.scan carry over the batch) + align + swap +
+        paste-back compile into one program: one dispatch per batch.
+
+        Param trees are jit ARGUMENTS, not closure captures (same reason
+        as swap_images_fused: captured trees bake multi-GB constants into
+        the MLIR and break the axon remote-compile upload)."""
+        if not hasattr(self, "_jit_video"):
+            import copy
+
+            def run(swap_params, lm_params, bn_params, frames, lm_in,
+                    ref224, src, state, k, thresh):
+                sub = copy.copy(self)
+                sub.swapper = copy.copy(self.swapper)
+                sub.swapper.params = swap_params
+                sub.landmark_params = lm_params
+                sub.bisenet_params = bn_params
+                present = sub.face_presence(frames, thresh)
+                lm = (lm_in if lm_in is not None
+                      else sub.detect_landmarks(frames))
+                ref = (ref224 if ref224 is not None
+                       else sub._source_reference(src))
+
+                def step(carry, x):
+                    lf, llm, v = carry
+                    f, l, p = x
+                    # last-good-frame substitution (video fallback parity):
+                    # present -> this frame becomes the new "last good";
+                    # absent -> reuse the last good frame+landmarks if any
+                    lf2 = jnp.where(p, f, jnp.where(v, lf, f))
+                    llm2 = jnp.where(p, l, jnp.where(v, llm, l))
+                    v2 = jnp.logical_or(v, p)
+                    return (lf2, llm2, v2), (lf2, llm2, v2)
+
+                new_state, (f_eff, lm_eff, v_eff) = jax.lax.scan(
+                    step, state, (frames, lm, present)
+                )
+                t_crop, t_quads = sub.align(f_eff, lm_eff)
+                out_big = sub._swap_aligned(t_crop, ref, k)
+                out = jax.vmap(
+                    lambda orig, crop, quad: paste_back(orig, crop, quad)
+                )(f_eff, out_big, t_quads)
+                # frames before any successful detection pass through
+                out = jnp.where(v_eff[:, None, None, None], out, frames)
+                return out, new_state, t_quads
+
+            self._jit_video = jax.jit(run)
+        return self._jit_video
+
     def swap_images_robust(
         self,
         target01: jnp.ndarray,  # (B,H,W,3) raw frames in [0,1]
@@ -330,6 +386,8 @@ class RawSwapPipeline:
         key: Optional[jax.Array] = None,
         state: Optional[tuple] = None,
         min_area_frac: float = 2e-3,
+        one_program: bool = True,
+        ref224: Optional[jnp.ndarray] = None,
     ):
         """swap_images with the reference's last-good-frame fallback.
 
@@ -339,10 +397,46 @@ class RawSwapPipeline:
         transforms are returned for persistence (inv_transforms.npy role).
         Frames before any successful detection pass through unswapped.
 
+        one_program=True (default) runs the batch as a single XLA program
+        (`_video_batch_program`): one device dispatch instead of ~20 eager
+        tunnel round trips. With a host `landmark_fn` (--landmark-rert),
+        the exact ERT still provides the ALIGNMENT landmarks (computed on
+        the host, fed in); the 512px-crop re-detect for the conditioning
+        vector uses the on-device LandmarkNet inside the program (measured
+        CNN-vs-ERT tolerance 1.74 px @256, BENCH_LOG "Landmark fidelity").
+        one_program=False keeps the stage-by-stage eager path, where the
+        conditioning re-detect also uses the host ERT.
+
+        ref224: optional precomputed `_source_reference(source)` — pass it
+        when the source is constant across batches (a video) so the CLIP
+        tower doesn't re-encode the same source every batch.
+
         Returns (frames_out, new_state, quads); thread `state` through
-        successive batches of one video.
+        successive batches of one video (opaque; None until a face has
+        been seen).
         """
         key = key if key is not None else jax.random.key(0)
+        if one_program:
+            if state is None:
+                state = (jnp.zeros_like(target01[0]),
+                         jnp.zeros((68, 2), jnp.float32),
+                         jnp.zeros((), bool))
+            lm_in = None
+            if self.landmark_fn is not None:
+                lm_in = jnp.asarray(
+                    np.asarray(self.landmark_fn(target01), np.float32)
+                )
+            out, new_state, quads = self._video_batch_program()(
+                self.swapper.params, self.landmark_params,
+                self.bisenet_params, target01, lm_in, ref224,
+                None if ref224 is not None else source01,
+                state, key, min_area_frac,
+            )
+            # old-API None-until-detected semantics; the scalar readback
+            # doubles as the reliable device sync (CLAUDE.md timing rule)
+            if not bool(new_state[2]):
+                new_state = None
+            return out, new_state, np.asarray(quads)
         b = target01.shape[0]
         present = np.asarray(self.face_presence(target01, min_area_frac))
         frames = np.asarray(target01, np.float32).copy()
@@ -361,7 +455,8 @@ class RawSwapPipeline:
 
         frames_j = jnp.asarray(frames)
         t_crop, t_quads = self.align(frames_j, jnp.asarray(lm))
-        ref224 = self._source_reference(source01)
+        if ref224 is None:
+            ref224 = self._source_reference(source01)
         out_big = self._swap_aligned(t_crop, ref224, key)
         out = jax.vmap(
             lambda orig, crop, quad: paste_back(orig, crop, quad)

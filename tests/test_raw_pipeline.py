@@ -210,3 +210,56 @@ def test_video_fallback_reuses_last_good_frame():
     )
     np.testing.assert_allclose(np.asarray(out3), np.asarray(tgt2), atol=1e-6)
     assert state3 is None
+
+
+def test_video_one_program_matches_eager_robust():
+    """The one-XLA-program video batch step (swap_images_robust default)
+    must reproduce the eager stage-by-stage robust path: identical
+    presence gating, fallback carry, align/swap/paste math — only the
+    dispatch granularity changes (fusion-boundary tolerance, as in
+    test_fused_raw_path_matches_eager). Also checks the precomputed-ref224
+    fast path and the None-until-detected state contract."""
+    swap_cfg = tiny_swap_config(image_size=64, ddim_steps=2)
+    sw = FaceSwapper(swap_cfg, FaceSwapper.init_params(swap_cfg, jax.random.key(0)))
+    pipe = RawSwapPipeline(sw, _tiny_raw_cfg())
+
+    tgt = jax.random.uniform(jax.random.key(1), (3, 96, 96, 3))
+    src = jax.random.uniform(jax.random.key(2), (3, 80, 80, 3))
+
+    # force a mixed presence pattern so the fallback carry is exercised
+    presence = np.array([True, False, True])
+    pipe.face_presence = lambda t, min_area_frac=2e-3: jnp.asarray(
+        presence[: t.shape[0]]
+    )
+
+    eager_out, eager_state, eager_quads = pipe.swap_images_robust(
+        tgt, src, key=jax.random.key(3), one_program=False
+    )
+    one_out, one_state, one_quads = pipe.swap_images_robust(
+        tgt, src, key=jax.random.key(3), one_program=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(one_out), np.asarray(eager_out), atol=5e-3, rtol=0
+    )
+    np.testing.assert_allclose(one_quads, eager_quads, atol=1e-4, rtol=0)
+    assert one_state is not None and eager_state is not None
+
+    # precomputed ref224 must not change the result
+    ref224 = pipe._source_reference(src)
+    ref_out, _, _ = pipe.swap_images_robust(
+        tgt, src, key=jax.random.key(3), one_program=True, ref224=ref224
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_out), np.asarray(one_out), atol=5e-3, rtol=0
+    )
+
+    # no face ever -> passthrough frames and a None state, same as eager
+    pipe2 = RawSwapPipeline(sw, _tiny_raw_cfg())
+    pipe2.face_presence = lambda t, min_area_frac=2e-3: jnp.zeros(
+        (t.shape[0],), bool
+    )
+    out3, state3, _ = pipe2.swap_images_robust(
+        tgt, src, key=jax.random.key(4), one_program=True
+    )
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(tgt), atol=1e-6)
+    assert state3 is None
