@@ -240,8 +240,8 @@ def main(argv=None):
             # stay resident through this local — measured on the 16G chip:
             # init fp32 params (3.4G) + the uploaded restored state put the
             # first resumed step over HBM (RESOURCE_EXHAUSTED). Free them —
-            # unless the state's EMA fell back to the init EmaState, whose
-            # shadow ALIASES these arrays (EmaState.create is jnp.asarray).
+            # guarded against EMA-shadow aliasing for safety (EmaState.create
+            # copies since the donation fix, so the guard should never trip).
             if state.ema is None or not any(
                 r is p for r, p in zip(jax.tree.leaves(state.ema),
                                        jax.tree.leaves(params["unet"]))

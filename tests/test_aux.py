@@ -50,6 +50,23 @@ def test_ema_bf16_shadow():
     )
 
 
+def test_ema_shadow_never_aliases_params():
+    """Donation safety: the train step donates its TrainState
+    (cli/train.py donate_argnums=(0,)); a same-dtype shadow leaf sharing a
+    params buffer would be donated twice (XLA error or silent corruption).
+    EmaState.create must COPY — this is the invariant the round-5 EMA
+    at-real-size fix depends on (BENCH_LOG.md round-5 EMA follow-up)."""
+    params = {"w": jnp.full((8,), 0.7, jnp.float32)}
+    st = EmaState.create(params, decay=0.9999)  # same dtype as params
+    for s, p in zip(jax.tree.leaves(st.shadow), jax.tree.leaves(params)):
+        assert s is not p
+        # buffer-level check: donating/deleting the param must leave the
+        # shadow readable (unsafe_buffer_pointer differs on backends that
+        # expose it; delete() is the portable aliasing probe)
+        p.delete()
+        np.testing.assert_allclose(np.asarray(s), 0.7)
+
+
 def test_lambda_linear_shipped_config():
     sched = lambda_linear(10_000, 1e-6, 1.0, 1.0)
     np.testing.assert_allclose(float(sched(0)), 1e-6, rtol=1e-5)
