@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-5 queue 9: serving-ladder top extension, run AFTER r5_resume.sh's
+# ALL DONE (uncontended chip windows).
+#   a. distilled-2 rung: distill_schedule_plan(50, 2) = [10, 2], so a
+#      2-step guidance-folded student is plan-supported; measure its
+#      schedule's throughput at real 860M width (conservative + causal +
+#      int8conv) — the rung right above the fixed-cost bound.
+#   b. batch-16 at distilled-5: without CFG the effective UNet batch at
+#      --batch 8 is 8 (half the exact protocol's CFG-16 MXU knee);
+#      batch 16 restores the knee and halves the per-batch RTT share.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=/root/repo/.r5logs
+mkdir -p $LOG
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ($(date +%H:%M:%S)) ===" >> $LOG/queue9.log
+  timeout 7200 python "$@" > $LOG/$name.out 2> $LOG/$name.err
+  echo "$name rc=$? ($(date +%H:%M:%S))" >> $LOG/queue9.log
+  sleep 45
+}
+
+run dist2_bf16        bench.py --steps 2 --cfg-scale 1.0
+run dist2_causal      bench.py --steps 2 --cfg-scale 1.0 --causal 2
+run dist2_int8conv    bench.py --steps 2 --cfg-scale 1.0 --quant int8conv
+run dist5_b16         bench.py --steps 5 --cfg-scale 1.0 --batch 16
+run dist5_b16_causal  bench.py --steps 5 --cfg-scale 1.0 --batch 16 --causal 2
+echo "QUEUE9 ALL DONE $(date +%H:%M:%S)" >> $LOG/queue9.log
