@@ -45,6 +45,26 @@ def _decode_multipart(body: bytes, boundary: bytes) -> dict[str, bytes]:
     return out
 
 
+def letterbox_frame(img, f: int):
+    """Aspect-preserving resize + center pad into an (f, f, 3) bucket.
+
+    Returns (padded, (y0, x0, nh, nw)) — the crop box undoes the pad.
+    Used by --fused so every upload hits ONE compiled shape WITHOUT the
+    anisotropic squashing that would distort face geometry for non-square
+    frames (ADVICE round-4 finding)."""
+    import cv2
+    import numpy as np
+
+    ih, iw = img.shape[:2]
+    s = f / max(ih, iw)
+    nh, nw = (max(1, int(round(ih * s))), max(1, int(round(iw * s))))
+    r = cv2.resize(img, (nw, nh))
+    pad = np.zeros((f, f, 3), np.float32)
+    y0, x0 = (f - nh) // 2, (f - nw) // 2
+    pad[y0:y0 + nh, x0:x0 + nw] = r
+    return pad, (y0, x0, nh, nw)
+
+
 def make_server(argv=None):
     """Build the configured ThreadingHTTPServer (not yet serving).
 
@@ -119,20 +139,8 @@ def make_server(argv=None):
                     # landmarks/align/paste-back in the latency mode.
                     f = args.fused_frame
                     h, w = tgt.shape[:2]
-
-                    def letterbox(img):
-                        ih, iw = img.shape[:2]
-                        s = f / max(ih, iw)
-                        nh, nw = (max(1, int(round(ih * s))),
-                                  max(1, int(round(iw * s))))
-                        r = cv2.resize(img, (nw, nh))
-                        pad = np.zeros((f, f, 3), np.float32)
-                        y0, x0 = (f - nh) // 2, (f - nw) // 2
-                        pad[y0:y0 + nh, x0:x0 + nw] = r
-                        return pad, (y0, x0, nh, nw)
-
-                    tgt_in, (y0, x0, nh, nw) = letterbox(tgt)
-                    src_in, _ = letterbox(src)
+                    tgt_in, (y0, x0, nh, nw) = letterbox_frame(tgt, f)
+                    src_in, _ = letterbox_frame(src, f)
                     out01 = np.asarray(
                         pipe.swap_images_fused(jnp.asarray(tgt_in)[None],
                                                jnp.asarray(src_in)[None],

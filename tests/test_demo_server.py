@@ -118,3 +118,25 @@ def test_demo_server_fused_raw_mode():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_letterbox_frame_geometry():
+    """Aspect-preserving: a 2:1 frame lands centered in the bucket at the
+    same aspect ratio (no anisotropic squash — ADVICE round-4), and the
+    returned box crops back to exactly the resized content."""
+    import numpy as np
+
+    from reface_tpu.cli.demo_server import letterbox_frame
+
+    img = np.ones((50, 100, 3), np.float32)
+    pad, (y0, x0, nh, nw) = letterbox_frame(img, 64)
+    assert pad.shape == (64, 64, 3)
+    assert (nh, nw) == (32, 64)  # 2:1 aspect preserved
+    assert (y0, x0) == (16, 0)  # vertically centered
+    content = pad[y0:y0 + nh, x0:x0 + nw]
+    assert float(content.min()) == 1.0  # all content, no pad inside the box
+    assert float(pad.sum()) == float(content.sum())  # pad is zeros outside
+    # tall frame: mirrored geometry
+    pad2, (y0b, x0b, nh2, nw2) = letterbox_frame(
+        np.ones((100, 50, 3), np.float32), 64)
+    assert (nh2, nw2) == (64, 32) and (y0b, x0b) == (0, 16)
