@@ -62,6 +62,12 @@ def main(argv=None):
                          "single 16G chip), ~1e-3 relative rounding on the "
                          "recon grad contribution")
     ap.add_argument("--ckpt-every", type=int, default=10000)
+    ap.add_argument("--final-ckpt", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="save the full train state as 'last' at the end "
+                         "(default; --no-final-ckpt for measurement runs — "
+                         "a real-size full-state save is ~10G, ~35 min over "
+                         "the axon tunnel)")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--image-log-every", type=int, default=500)
     ap.add_argument("--resume", default=None)
@@ -463,7 +469,12 @@ def main(argv=None):
             print(f"[train] WARNING: crash checkpoint failed "
                   f"({type(ce).__name__}): state was lost with the step")
         raise
-    checkpoint("last")
+    if args.final_ckpt:
+        checkpoint("last")
+    else:
+        # measurement runs skip it: a full-state orbax save is ~10G at
+        # 860M and moves at ~5 MB/s over the axon tunnel (~35 min)
+        print("[train] --no-final-ckpt: skipping the final 'last' save")
     if step == resume_step:
         # a silent no-op run is almost always a config error, e.g. a batch
         # size that doesn't divide the mesh's data axis (the loader drops
