@@ -34,4 +34,18 @@ run dist2_causal      bench.py --steps 2 --cfg-scale 1.0 --causal 2
 run dist2_int8conv    bench.py --steps 2 --cfg-scale 1.0 --quant int8conv
 run dist5_b16         bench.py --steps 5 --cfg-scale 1.0 --batch 16
 run dist5_b16_causal  bench.py --steps 5 --cfg-scale 1.0 --batch 16 --causal 2
+
+# Full reference protocol scale: 1000 frozen pairs (inference_test_bench.sh
+# pair shape) with exact-ERT landmarks + full PNG writing, then the four
+# metrics over the complete result set. /tmp/celeba_bench now holds
+# 28000-28999 + 29000-29999 @512 (regenerated); lm68.rert comes from the
+# r5_resume ERT retrain.
+run tb_protocol_1000 -m reface_tpu.cli.inference_test_bench \
+    --dataset-dir /tmp/celeba_bench --dataset celeba \
+    --outdir /tmp/tb1000_out --n-samples 8 --num-pairs 1000 \
+    --landmark-rert /tmp/lm68.rert
+run evaluate_1000 -m reface_tpu.cli.evaluate \
+    --results-dir /tmp/tb1000_out/results --dataset-dir /tmp/celeba_bench \
+    --dataset celeba --metrics fid id pose expression --allow-random \
+    --out $LOG/eval1000_metrics.json
 echo "QUEUE9 ALL DONE $(date +%H:%M:%S)" >> $LOG/queue9.log
