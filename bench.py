@@ -87,6 +87,9 @@ def main():
                     help="also int8 the CLIP conditioner tower matmuls "
                          "(fixed per-swap cost attack for short rungs)")
     args = ap.parse_args()
+    if args.causal and args.pipeline:
+        ap.error("--causal and --pipeline are mutually exclusive dispatch "
+                 "modes; pick one")
 
     if args.tiny:
         # CPU smoke: the sitecustomize pins JAX_PLATFORMS=axon, so switch
@@ -130,10 +133,9 @@ def main():
         if args.quant_cond:
             import dataclasses
 
-            from reface_tpu.nn.clip import CLIPVisionConfig
-
             cfg = dataclasses.replace(cfg, conditioner=dataclasses.replace(
-                cfg.conditioner, clip=CLIPVisionConfig(quant="int8")))
+                cfg.conditioner, clip=dataclasses.replace(
+                    cfg.conditioner.clip, quant="int8")))
         # batch 8 is the measured knee of the exact protocol (1.59 swaps/s vs
         # 1.49 at batch 4; batch 16 spills — BENCH_LOG.md round-3 A/B table).
         batch = args.batch or 8

@@ -58,7 +58,9 @@ def main(argv=None):
     ap.add_argument("--landmark-rert", default=None,
                     help="native .rert ERT model: EXACT dlib-parity "
                          "landmarks on the host for align + conditioning "
-                         "(eager path; --fused keeps the on-device CNN)")
+                         "(eager path only — rejected with --fused, whose "
+                         "one-XLA-program body cannot call the host; use "
+                         "--landmark-ckpt there)")
     ap.add_argument("--bisenet-ckpt", default=None)
     ap.add_argument("--precropped", action="store_true",
                     help="inputs already aligned; skip detect/parse/paste")

@@ -198,6 +198,15 @@ def main(argv=None):
                   f"_batch{args.frame_batch}")
         if args.bench_ram:
             metric += "_ram"
+        # encode the measured code path so ladder rows built from this
+        # JSON line cannot misattribute eager/ERT variants to the
+        # one-program CNN path (the round-4 landmark-attribution lesson)
+        if args.eager_video:
+            metric += "_eager"
+        if getattr(args, "landmark_rert", None):
+            metric += "_ert"
+        elif getattr(args, "landmark_ckpt", None):
+            metric += "_cnnckpt"
         if bench["frames"]:
             fs = bench["frames"] / (time.perf_counter() - bench["t0"])
             print(json.dumps({

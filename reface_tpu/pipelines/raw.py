@@ -400,10 +400,12 @@ class RawSwapPipeline:
         one_program=True (default) runs the batch as a single XLA program
         (`_video_batch_program`): one device dispatch instead of ~20 eager
         tunnel round trips. With a host `landmark_fn` (--landmark-rert),
-        the exact ERT still provides the ALIGNMENT landmarks (computed on
-        the host, fed in); the 512px-crop re-detect for the conditioning
-        vector uses the on-device LandmarkNet inside the program (measured
-        CNN-vs-ERT tolerance 1.74 px @256, BENCH_LOG "Landmark fidelity").
+        the exact ERT provides the ALIGNMENT landmarks (computed on the
+        host, fed in) AND the source-reference alignment (computed eagerly
+        before the program when ref224 is not supplied); only the
+        512px-crop re-detect for the conditioning vector uses the
+        on-device LandmarkNet inside the program (measured CNN-vs-ERT
+        tolerance 1.74 px @256, BENCH_LOG "Landmark fidelity").
         one_program=False keeps the stage-by-stage eager path, where the
         conditioning re-detect also uses the host ERT.
 
@@ -426,6 +428,12 @@ class RawSwapPipeline:
                 lm_in = jnp.asarray(
                     np.asarray(self.landmark_fn(target01), np.float32)
                 )
+                if ref224 is None:
+                    # Compute the source reference EAGERLY so its alignment
+                    # also uses the exact host ERT; traced inside the
+                    # program, detect_landmarks would silently fall back to
+                    # the CNN for the source crop (eager-path divergence).
+                    ref224 = self._source_reference(source01)
             out, new_state, quads = self._video_batch_program()(
                 self.swapper.params, self.landmark_params,
                 self.bisenet_params, target01, lm_in, ref224,

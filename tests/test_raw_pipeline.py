@@ -253,6 +253,37 @@ def test_video_one_program_matches_eager_robust():
         np.asarray(ref_out), np.asarray(one_out), atol=5e-3, rtol=0
     )
 
+    # With a host landmark_fn (--landmark-rert), the one-program path must
+    # match the eager path INCLUDING the source-reference alignment: the
+    # source reference is computed eagerly with the host fn before the
+    # program (traced inside it, detect_landmarks would silently fall back
+    # to the CNN for the source crop — a regression this guards).
+    def host_lm(images01):
+        # deterministic host landmarks, deliberately far from the CNN's:
+        # a grid whose scale depends on each image's mean intensity
+        arr = np.asarray(images01)
+        b, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
+        gx, gy = np.meshgrid(np.linspace(0.2, 0.8, 17), np.linspace(0.3, 0.9, 4))
+        base = np.stack([gx.ravel(), gy.ravel()], -1)[:68]  # (68,2) in [0,1]
+        scale = 0.8 + 0.2 * arr.reshape(b, -1).mean(1)
+        return base[None] * scale[:, None, None] * np.array([w, h], np.float32)
+
+    pipe_lm = RawSwapPipeline(sw, _tiny_raw_cfg(), landmark_fn=host_lm)
+    pipe_lm.face_presence = lambda t, min_area_frac=2e-3: jnp.asarray(
+        presence[: t.shape[0]]
+    )
+    lm_eager, _, _ = pipe_lm.swap_images_robust(
+        tgt, src, key=jax.random.key(3), one_program=False
+    )
+    lm_one, _, _ = pipe_lm.swap_images_robust(
+        tgt, src, key=jax.random.key(3), one_program=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(lm_one), np.asarray(lm_eager), atol=5e-3, rtol=0
+    )
+    # the host landmarks really did drive the result (CNN path differs)
+    assert float(np.abs(np.asarray(lm_one) - np.asarray(one_out)).max()) > 1e-3
+
     # no face ever -> passthrough frames and a None state, same as eager
     pipe2 = RawSwapPipeline(sw, _tiny_raw_cfg())
     pipe2.face_presence = lambda t, min_area_frac=2e-3: jnp.zeros(

@@ -34,17 +34,6 @@ import numpy as np
 __all__ = ["train_ert", "ert_predict_model", "normalized_targets"]
 
 
-def _similarity(init: np.ndarray, shape: np.ndarray):
-    """(a, b) of the least-squares scale+rotation from init to shape,
-    both (n,2) normalized coords — identical to the evaluator's."""
-    fm, tm = init.mean(0), shape.mean(0)
-    fc, tc = init - fm, shape - tm
-    den = (fc * fc).sum()
-    a = (fc * tc).sum() / den
-    b = (fc[:, 0] * tc[:, 1] - fc[:, 1] * tc[:, 0]).sum() / den
-    return a, b
-
-
 def _extract_feats_batch(images, boxes, img_of, init, cur, anchors, deltas):
     """Pixel intensities at the shape-indexed feature points, vectorized
     over ALL samples. images (n_img,H,W) float; boxes (n_img,4);

@@ -15,7 +15,6 @@ the alias column shows how much of the old TrainState XLA reuses in place.
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main():
@@ -28,20 +27,14 @@ def main():
     ap.add_argument("--no-donate", action="store_true",
                     help="probe the pre-round-5 no-donation lowering for A/B")
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--backend", default=None)
+    ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args()
-    if args.backend == "cpu":
-        import jax
+    from reface_tpu.cli.common import apply_backend
 
-        jax.config.update("jax_platforms", "cpu")
+    apply_backend(args)  # shared platform forcing + .jax_cache wiring
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from reface_tpu.nn.unet import UNetConfig
