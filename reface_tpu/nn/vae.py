@@ -156,7 +156,11 @@ class Decoder(nn.Module):
     config: VAEConfig = VAEConfig()
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, features: bool = False):
+        """features=True also returns the penultimate activations (the
+        conv_out input) — the VAE training loss differentiates its NLL/GAN
+        terms w.r.t. the LAST decoder layer only (contperceptual.py:32-42
+        `get_last_layer` semantics), which needs this tap."""
         cfg = self.config
         dt = cfg.dtype
         # per-block remat (same param tree — lifted transform keeps scopes)
@@ -177,9 +181,10 @@ class Decoder(nn.Module):
                 h = Up(ch, dtype=dt, name=f"up_{i}_upsample")(h)
         h = GroupNorm32(epsilon=1e-6, name="norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=dt, name="conv_out")(h).astype(
+        out = nn.Conv(cfg.out_ch, (3, 3), padding=1, dtype=dt, name="conv_out")(h).astype(
             jnp.float32
         )
+        return (out, h) if features else out
 
 
 class AutoencoderKL(nn.Module):
@@ -208,8 +213,10 @@ class AutoencoderKL(nn.Module):
         moments = self.quant_conv(self.encoder(x)).astype(jnp.float32)
         return DiagonalGaussian.from_moments(moments, axis=-1)
 
-    def decode(self, z):
-        return self.decoder(self.post_quant_conv(z.astype(self.config.dtype)))
+    def decode(self, z, features: bool = False):
+        return self.decoder(
+            self.post_quant_conv(z.astype(self.config.dtype)), features=features
+        )
 
     def __call__(self, x, key=None, sample: bool = False):
         posterior = self.encode(x)

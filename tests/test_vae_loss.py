@@ -1,0 +1,215 @@
+"""VAE first-stage loss (LPIPSWithDiscriminator parity) + trainer."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reface_tpu.diffusion.vae_loss import (
+    VAELossConfig,
+    adopt_weight,
+    discriminator_loss,
+    generator_loss,
+    hinge_d_loss,
+    make_vae_train_step,
+    vanilla_d_loss,
+)
+from reface_tpu.nn.discriminator import NLayerDiscriminator
+from reface_tpu.nn.lpips import LPIPS
+from reface_tpu.nn.vae import AutoencoderKL, VAEConfig
+
+
+def _tiny_vae():
+    cfg = VAEConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                    dtype=jnp.float32)
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    return vae, params
+
+
+def test_d_loss_closed_form():
+    # hinge: 0.5*(mean(relu(1-real)) + mean(relu(1+fake)))
+    real = jnp.array([2.0, 0.5, -1.0])   # relu(1-real) = [0, .5, 2]
+    fake = jnp.array([-2.0, 0.0, 1.0])   # relu(1+fake) = [0, 1, 2]
+    np.testing.assert_allclose(
+        float(hinge_d_loss(real, fake)), 0.5 * (2.5 / 3 + 3.0 / 3), rtol=1e-6
+    )
+    # vanilla: 0.5*(mean(softplus(-real)) + mean(softplus(fake)))
+    v = float(vanilla_d_loss(real, fake))
+    expect = 0.5 * (
+        np.mean(np.log1p(np.exp(-np.array(real))))
+        + np.mean(np.log1p(np.exp(np.array(fake))))
+    )
+    np.testing.assert_allclose(v, expect, rtol=1e-5)
+
+
+def test_adopt_weight_gating():
+    assert float(adopt_weight(1.0, 5, threshold=10)) == 0.0
+    assert float(adopt_weight(1.0, 10, threshold=10)) == 1.0
+    np.testing.assert_allclose(float(adopt_weight(0.7, 999, threshold=10)),
+                               0.7, rtol=1e-6)
+
+
+def test_discriminator_output_shape_and_init_scale():
+    disc = NLayerDiscriminator(n_layers=3)
+    p = disc.init(jax.random.key(0), jnp.zeros((2, 64, 64, 3)))
+    out = disc.apply(p, jax.random.normal(jax.random.key(1), (2, 64, 64, 3)))
+    # 64 -> 32 -> 16 -> 8 (stride-2 x3) then two stride-1 4x4 pads
+    assert out.shape[0] == 2 and out.shape[-1] == 1
+    # weights_init parity: conv kernels ~ N(0, 0.02)
+    k = p["params"]["conv0"]["kernel"]
+    assert float(jnp.std(k)) < 0.05
+
+
+def test_adaptive_weight_matches_manual_last_layer_grads():
+    """d_weight must equal ||d nll/d w_last|| / (||d g/d w_last|| + 1e-4)
+    where both grads are taken through ONLY the final decoder conv
+    (get_last_layer semantics, contperceptual.py:32-42)."""
+    vae, vp = _tiny_vae()
+    disc = NLayerDiscriminator(n_layers=1, ndf=8)
+    lpips = LPIPS()
+    x = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3)) * 2 - 1
+    dp = disc.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)))
+    lp = lpips.init(jax.random.key(4), x, x)
+    # pixelloss_weight=0.01 keeps the ratio under the 1e4 clamp so the
+    # FORMULA is what's validated, not the clip
+    cfg = VAELossConfig(disc_start=0, perceptual_weight=0.0,
+                        disc_weight=1.0, pixelloss_weight=0.01)
+
+    _, aux = generator_loss(vae, vp, disc, dp, lpips, lp, x,
+                            jax.random.key(5), 100, cfg)
+
+    # manual: recompute through an explicit last-conv function
+    post = vae.apply(vp, x, method="encode")
+    z = post.sample(jax.random.key(5))  # same key -> same sample
+    _, feats = vae.apply(vp, z, True, method="decode")
+    co = vp["params"]["decoder"]["conv_out"]
+
+    def last(w):
+        y = jax.lax.conv_general_dilated(
+            feats, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + co["bias"]
+
+    def nll_of_w(w):
+        rec = 0.01 * jnp.abs(x - last(w))
+        return jnp.sum(rec / jnp.exp(0.0) + 0.0) / x.shape[0]
+
+    def g_of_w(w):
+        return -jnp.mean(disc.apply(dp, last(w)))
+
+    gn = jax.grad(nll_of_w)(co["kernel"])
+    gg = jax.grad(g_of_w)(co["kernel"])
+    expect = float(jnp.linalg.norm(gn.ravel())
+                   / (jnp.linalg.norm(gg.ravel()) + 1e-4))
+    assert expect < 1e4  # unclipped regime, else the assert is vacuous
+    np.testing.assert_allclose(float(aux["d_weight"]), expect, rtol=1e-4)
+
+    # the [0, 1e4] clamp (contperceptual.py:41) engages at full pixel loss
+    cfg_full = VAELossConfig(disc_start=0, perceptual_weight=0.0)
+    _, aux_full = generator_loss(vae, vp, disc, dp, lpips, lp, x,
+                                 jax.random.key(5), 100, cfg_full)
+    assert float(aux_full["d_weight"]) == 1e4
+
+
+def test_generator_loss_disc_gate():
+    """Before disc_start the GAN term contributes nothing (disc_factor=0);
+    after, the loss shifts by d_weight * g_loss."""
+    vae, vp = _tiny_vae()
+    disc = NLayerDiscriminator(n_layers=1, ndf=8)
+    lpips = LPIPS()
+    x = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3)) * 2 - 1
+    dp = disc.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)))
+    lp = lpips.init(jax.random.key(4), x, x)
+    cfg = VAELossConfig(disc_start=100, perceptual_weight=0.0)
+
+    l_before, aux_b = generator_loss(vae, vp, disc, dp, lpips, lp, x,
+                                     jax.random.key(5), 10, cfg)
+    l_after, aux_a = generator_loss(vae, vp, disc, dp, lpips, lp, x,
+                                    jax.random.key(5), 100, cfg)
+    assert float(aux_b["disc_factor"]) == 0.0
+    assert float(aux_a["disc_factor"]) == 1.0
+    shift = float(aux_a["d_weight"]) * float(aux_a["g_loss"])
+    np.testing.assert_allclose(float(l_after) - float(l_before), shift,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_lpips_broadcast_semantics():
+    """The perceptual distance broadcasts over pixels before the
+    sum/B reduction (contperceptual.py:49-59): nll(pw=1) - nll(pw=0)
+    == sum_b(p_b) * H * W * C / B."""
+    vae, vp = _tiny_vae()
+    disc = NLayerDiscriminator(n_layers=1, ndf=8)
+    lpips = LPIPS()
+    x = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3)) * 2 - 1
+    dp = disc.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)))
+    lp = lpips.init(jax.random.key(4), x, x)
+
+    k = jax.random.key(5)
+    cfg0 = VAELossConfig(disc_start=10**9, perceptual_weight=0.0)
+    cfg1 = VAELossConfig(disc_start=10**9, perceptual_weight=1.0)
+    _, a0 = generator_loss(vae, vp, disc, dp, lpips, lp, x, k, 0, cfg0)
+    _, a1 = generator_loss(vae, vp, disc, dp, lpips, lp, x, k, 0, cfg1)
+
+    post = vae.apply(vp, x, method="encode")
+    xrec = vae.apply(vp, post.sample(k), method="decode")
+    p = lpips.apply(lp, x, xrec)
+    expect = float(jnp.sum(p) * 32 * 32 * 3 / x.shape[0])
+    np.testing.assert_allclose(
+        float(a1["nll_loss"]) - float(a0["nll_loss"]), expect, rtol=1e-3
+    )
+
+
+def test_train_step_updates_and_disc_learns():
+    """One jitted gen+disc double update: finite losses, both trees move;
+    with the gate open the discriminator separates real from fake within a
+    few steps on a fixed batch."""
+    vae, vp = _tiny_vae()
+    cfg = VAELossConfig(disc_start=0, perceptual_weight=1.0,
+                        kl_weight=1e-6, disc_weight=0.5)
+    init_state, step_fn, disc, lpips = make_vae_train_step(
+        vae, cfg, lr=1e-3
+    )
+    x = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3)) * 2 - 1
+    lp = lpips.init(jax.random.key(4), x, x)
+    state = init_state(vp, jax.random.key(0), image_size=32)
+
+    v0 = jax.tree_util.tree_leaves(state.vae_params)[0].copy()
+    d0 = jax.tree_util.tree_leaves(state.disc_params)[0].copy()
+    logs = None
+    for i in range(6):
+        state, logs = step_fn(state, x, jax.random.key(10 + i),
+                              lpips_params=lp)
+    assert all(np.isfinite(float(v)) for v in logs.values())
+    assert int(state.step) == 6
+    assert not np.allclose(v0, jax.tree_util.tree_leaves(state.vae_params)[0])
+    assert not np.allclose(d0, jax.tree_util.tree_leaves(state.disc_params)[0])
+    # hinge objective: real logits should exceed fake logits once trained
+    assert float(logs["logits_real"]) > float(logs["logits_fake"])
+
+
+def test_cli_train_vae_smoke(tmp_path):
+    """The driver end-to-end on synthetic images (tiny, CPU)."""
+    from PIL import Image
+
+    from reface_tpu.cli import train_vae
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8), "RGB"
+        ).save(img_dir / f"{i}.png")
+    out = tmp_path / "ckpt"
+    train_vae.main([
+        "--images", str(img_dir), "--out", str(out), "--steps", "2",
+        "--batch-size", "2", "--image-size", "32", "--tiny",
+        "--allow-random-lpips", "--disc-start", "1", "--log-every", "1",
+        "--backend", "cpu",
+    ])
+    assert (out / "vae").exists() and (out / "disc").exists()
+    rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert rows and all(np.isfinite(r["aeloss"]) for r in rows)
