@@ -58,6 +58,9 @@ def main(argv=None):
                          "perceptual term (random features otherwise)")
     ap.add_argument("--allow-random-lpips", action="store_true")
     ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--max-images", type=int, default=4096,
+                    help="cap on images loaded to host RAM (a 256px image "
+                         "is ~0.8 MB as float32; 0 = no cap)")
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=4.5e-6,
@@ -102,8 +105,15 @@ def main(argv=None):
             lambda: vae.init(jax.random.key(0),
                              jnp.zeros((1, args.image_size, args.image_size, 3)))
         )
-        vae_params = convert_vae(shapes, load_torch_state_dict(args.vae_ckpt))
-        print(f"[vae] converted torch weights from {args.vae_ckpt}")
+        sd = load_torch_state_dict(args.vae_ckpt)
+        # full SD/REFace checkpoints nest the VAE under first_stage_model.*
+        # (ckpt/convert.py full-ckpt assembly); standalone dumps don't
+        prefix = ("first_stage_model."
+                  if any(k.startswith("first_stage_model.") for k in sd)
+                  else "")
+        vae_params = convert_vae(shapes, sd, prefix=prefix)
+        print(f"[vae] converted torch weights from {args.vae_ckpt} "
+              f"(prefix={prefix or 'none'})")
     elif args.vae_ckpt:
         vae_params = load_params(args.vae_ckpt)
         print(f"[vae] loaded {args.vae_ckpt}")
@@ -146,7 +156,8 @@ def main(argv=None):
         raise SystemExit("pass --lpips-ckpt (or --allow-random-lpips for "
                          "smoke runs)")
 
-    images = _load_images(args.images, args.image_size)
+    images = _load_images(args.images, args.image_size,
+                          limit=args.max_images)
     print(f"[vae] {len(images)} images @ {args.image_size}px")
     state = init_state(vae_params, key, image_size=args.image_size)
 

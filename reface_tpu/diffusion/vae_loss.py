@@ -164,13 +164,26 @@ def generator_loss(
         return -jnp.mean(disc.apply(jax.lax.stop_gradient(disc_params), xr))
 
     if cfg.disc_factor > 0.0:
-        nll_g = jax.grad(nll_of_w)(conv_out["kernel"])
-        gan_g = jax.grad(g_of_w)(conv_out["kernel"])
-        d_weight = jnp.linalg.norm(nll_g.ravel()) / (
-            jnp.linalg.norm(gan_g.ravel()) + 1e-4
+        def probe(kernel):
+            nll_g = jax.grad(nll_of_w)(kernel)
+            gan_g = jax.grad(g_of_w)(kernel)
+            dw = jnp.linalg.norm(nll_g.ravel()) / (
+                jnp.linalg.norm(gan_g.ravel()) + 1e-4
+            )
+            return jnp.clip(dw, 0.0, 1e4) * cfg.disc_weight
+
+        # The reference runs the probe during the disc_start warmup too,
+        # only to multiply by disc_factor=0; here the two extra
+        # LPIPS/disc backwards are skipped until the gate opens
+        # (numerics unchanged — the term is zeroed either way).
+        d_weight = jax.lax.cond(
+            global_step >= cfg.disc_start, probe,
+            lambda k: jnp.zeros(()),
+            # stop-grad the operand: the inner jax.grad differentiates its
+            # formal arg, and the outer training grad must not transpose
+            # through the cond (d_weight is detached anyway)
+            jax.lax.stop_gradient(conv_out["kernel"]),
         )
-        d_weight = jnp.clip(d_weight, 0.0, 1e4) * cfg.disc_weight
-        d_weight = jax.lax.stop_gradient(d_weight)
     else:
         d_weight = jnp.zeros(())
 
@@ -215,14 +228,18 @@ class VAETrainState:
 
 def make_vae_train_step(
     vae, cfg: VAELossConfig, lr: float = 4.5e-6,
-    lpips_params=None, disc: Optional[NLayerDiscriminator] = None,
+    disc: Optional[NLayerDiscriminator] = None,
     lpips: Optional[LPIPS] = None, jit: bool = True,
 ):
     """Build (init_state, step_fn) for the two-optimizer VAE fine-tune.
 
     One call = the reference's full per-batch schedule: generator update
     (opt_ae) then discriminator update (opt_disc), both Adam(0.5, 0.9)
-    (autoencoder.py:407-415), compiled as one donated XLA program."""
+    (autoencoder.py:407-415), compiled as one donated XLA program.
+
+    LPIPS params are a step_fn ARGUMENT, never a closure capture — a
+    captured tree would bake its weights into the MLIR as constants
+    (CLAUDE.md chip-run reliability rule)."""
     disc = disc or NLayerDiscriminator(
         input_nc=cfg.disc_in_channels, n_layers=cfg.disc_num_layers
     )
@@ -230,9 +247,9 @@ def make_vae_train_step(
     tx = optax.adam(lr, b1=0.5, b2=0.9)
 
     def init_state(vae_params, key, image_size: int = 256) -> VAETrainState:
-        kd, kl_ = jax.random.split(key)
         disc_params = disc.init(
-            kd, jnp.zeros((1, image_size, image_size, cfg.disc_in_channels))
+            jax.random.fold_in(key, 0),
+            jnp.zeros((1, image_size, image_size, cfg.disc_in_channels)),
         )
         return VAETrainState(
             step=jnp.zeros((), jnp.int32),
@@ -242,15 +259,13 @@ def make_vae_train_step(
             opt_disc=tx.init(disc_params),
         )
 
-    lp = lpips_params
-
     def step_fn(state: VAETrainState, x, key, lpips_params=None):
-        lpp = lpips_params if lpips_params is not None else lp
-        if lpp is None:
+        lpp = lpips_params
+        if lpp is None and cfg.perceptual_weight > 0:
             raise ValueError(
-                "LPIPS params required (pass lpips_params or build the "
-                "step with them); random LPIPS features make the "
-                "perceptual term meaningless"
+                "lpips_params required when perceptual_weight > 0; pass "
+                "converted LPIPS weights (random features make the "
+                "perceptual term meaningless) or set perceptual_weight=0"
             )
         kg, kd = jax.random.split(key)
 

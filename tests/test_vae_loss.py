@@ -190,6 +190,42 @@ def test_train_step_updates_and_disc_learns():
     assert float(logs["logits_real"]) > float(logs["logits_fake"])
 
 
+def test_train_step_without_lpips():
+    """perceptual_weight=0 must train without LPIPS params (pixel L1 +
+    KL + GAN only); with perceptual_weight>0 the step demands them."""
+    vae, vp = _tiny_vae()
+    cfg = VAELossConfig(disc_start=0, perceptual_weight=0.0)
+    init_state, step_fn, _, _ = make_vae_train_step(vae, cfg, lr=1e-3)
+    x = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3)) * 2 - 1
+    state = init_state(vp, jax.random.key(0), image_size=32)
+    state, logs = step_fn(state, x, jax.random.key(1))
+    assert np.isfinite(float(logs["aeloss"]))
+
+    cfg_p = VAELossConfig(disc_start=0, perceptual_weight=1.0)
+    _, step_p, _, _ = make_vae_train_step(vae, cfg_p, lr=1e-3, jit=False)
+    try:
+        step_p(init_state(vp, jax.random.key(0), image_size=32), x,
+               jax.random.key(1))
+        raise AssertionError("expected ValueError without lpips_params")
+    except ValueError as e:
+        assert "lpips_params" in str(e)
+
+
+def test_warmup_skips_adaptive_probe():
+    """During the disc_start warmup d_weight is exactly 0 (the probe is
+    gated off — the zeroed GAN term makes it pure waste)."""
+    vae, vp = _tiny_vae()
+    disc = NLayerDiscriminator(n_layers=1, ndf=8)
+    lpips = LPIPS()
+    x = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3)) * 2 - 1
+    dp = disc.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)))
+    lp = lpips.init(jax.random.key(4), x, x)
+    cfg = VAELossConfig(disc_start=100, perceptual_weight=0.0)
+    _, aux = generator_loss(vae, vp, disc, dp, lpips, lp, x,
+                            jax.random.key(5), 10, cfg)
+    assert float(aux["d_weight"]) == 0.0
+
+
 def test_cli_train_vae_smoke(tmp_path):
     """The driver end-to-end on synthetic images (tiny, CPU)."""
     from PIL import Image
